@@ -1,0 +1,51 @@
+"""Engine configuration (reference: index WITH-options + GUCs).
+
+Mirrors the reference's option surface: ``text_config`` (required there),
+``k1``/``b`` with the same defaults and valid ranges
+(reference: src/constants.h:74-75, src/access/build.c:644-698,
+README.md:688-692) and the LSM/GUC knobs (src/mod.c:181-347).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+
+DEFAULT_K1 = 1.2
+DEFAULT_B = 0.75
+DEFAULT_LIMIT = 1000          # reference: pg_textsearch.default_limit
+MAX_LIMIT = 100_000
+SEGMENTS_PER_LEVEL = 8        # reference: src/constants.h:70-71
+MAX_LEVELS = 8
+BLOCK_SIZE = 128              # postings per block (reference: format.h:208)
+
+
+@dataclass(frozen=True)
+class Bm25Options:
+    text_config: str = "english"
+    k1: float = DEFAULT_K1
+    b: float = DEFAULT_B
+    # avgdl convention: 'raw' (engine default — metapage total_len is the sum
+    # of raw doc lengths, reference src/access/build.c:1524-1557) or
+    # 'quantized' (the reference SQL oracle's convention,
+    # test/sql/validation.sql:131-141). See SURVEY.md §1.4.
+    avgdl_mode: str = "raw"
+    block_size: int = BLOCK_SIZE
+    segments_per_level: int = SEGMENTS_PER_LEVEL
+    docs_per_segment: int = 1 << 16
+    default_limit: int = DEFAULT_LIMIT
+    store_positions: bool = False   # positions sidecar enables phrase queries
+
+    def __post_init__(self) -> None:
+        if not (0.1 <= self.k1 <= 10.0):
+            raise ValueError("k1 must be in [0.1, 10.0]")
+        if not (0.0 <= self.b <= 1.0):
+            raise ValueError("b must be in [0.0, 1.0]")
+        if self.avgdl_mode not in ("raw", "quantized"):
+            raise ValueError("avgdl_mode must be 'raw' or 'quantized'")
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Bm25Options":
+        return cls(**{k: v for k, v in d.items() if k in cls.__dataclass_fields__})

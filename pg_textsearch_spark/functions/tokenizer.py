@@ -1,0 +1,148 @@
+"""Text-config tokenization pipeline (PG ``to_tsvector`` contract).
+
+Reproduces the tokenization contract the reference delegates to Postgres
+(reference: src/access/build.c:734-1059, README.md:581-589):
+
+- word extraction + lowercasing,
+- optional stopword removal + Snowball-English stemming
+  (config ``english``; config ``simple`` = lowercase only),
+- words longer than 2047 chars dropped (PG MAXSTRLEN),
+- term frequency = number of positions, saturated at 256 per lexeme per
+  chunk (PG MAXNUMPOS),
+- documents larger than 256 KB are split at the last ASCII whitespace of
+  each 256 KB window, chunk-tokenized, and per-term frequencies merged
+  (reference: src/access/build.c:807-812, 867-898, 921-972).
+
+Word pattern: ``[a-z0-9_]+`` over the lowercased text. This is our pinned
+tokenizer contract — it is deliberately SQL-expressible so the same
+tokenization can run as a DuckDB/Spark-SQL oracle (the reference pins
+``to_tsvector`` the same way in test/sql/validation.sql). PG's full parser
+(urls, hwords, ...) is a stretch goal tracked in SURVEY.md §7.3.
+
+Execution model: ``tokenize_series`` is called from Arrow-batched UDFs
+(``mapInPandas``) — per-batch it dedupes tokens before stemming so the
+stemmer runs O(unique terms), and all counting is C-level (collections /
+numpy), never per-row Python in the hot loop beyond the regex scan itself.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from collections.abc import Iterable
+
+from .stemmer import stem
+
+__all__ = [
+    "TOKEN_PATTERN", "MAX_WORD_LEN", "MAX_TF", "CHUNK_BYTES",
+    "ENGLISH_STOPWORDS", "tokenize", "tokenize_query", "sql_token_expr",
+]
+
+TOKEN_PATTERN = re.compile(r"[a-z0-9_]+")
+MAX_WORD_LEN = 2047   # PG MAXSTRLEN: longer words are dropped
+MAX_TF = 256          # PG MAXNUMPOS: positions cap per lexeme per chunk
+CHUNK_BYTES = 256 * 1024
+
+# Snowball English stopword list (public; what PG's 'english' config uses).
+ENGLISH_STOPWORDS = frozenset("""
+i me my myself we our ours ourselves you your yours yourself yourselves he
+him his himself she her hers herself it its itself they them their theirs
+themselves what which who whom this that these those am is are was were be
+been being have has had having do does did doing a an the and but if or
+because as until while of at by for with about against between into through
+during before after above below to from up down in out on off over under
+again further then once here there when where why how all any both each few
+more most other some such no nor not only own same so than too very s t can
+will just don should now
+""".split())
+
+_CONFIGS = ("simple", "english")
+
+
+def _split_chunks(text: str) -> list[str]:
+    """Split texts > 256 KB at the last ASCII whitespace of each window."""
+    data = text.encode("utf-8", errors="ignore")
+    if len(data) <= CHUNK_BYTES:
+        return [text]
+    chunks: list[str] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        end = min(pos + CHUNK_BYTES, n)
+        if end < n:
+            window = data[pos:end]
+            cut = max(window.rfind(b" "), window.rfind(b"\n"),
+                      window.rfind(b"\t"), window.rfind(b"\r"))
+            if cut > 0:
+                end = pos + cut
+        chunks.append(data[pos:end].decode("utf-8", errors="ignore"))
+        pos = end
+    return chunks
+
+
+def _chunk_term_freqs(chunk: str, config: str, stem_cache: dict[str, str | None]) -> Counter:
+    """(lexeme -> tf) for one chunk; tf saturates at MAX_TF per chunk."""
+    raw = Counter(TOKEN_PATTERN.findall(chunk.lower()))
+    out: Counter = Counter()
+    for word, cnt in raw.items():
+        lex = stem_cache.get(word, "?") if config == "english" else word
+        if config == "english":
+            if lex == "?":
+                if len(word) > MAX_WORD_LEN:
+                    lex = None
+                elif word in ENGLISH_STOPWORDS:
+                    lex = None
+                else:
+                    lex = stem(word)
+                stem_cache[word] = lex
+            if lex is None:
+                continue
+        elif len(word) > MAX_WORD_LEN:
+            continue
+        out[lex] += min(cnt, MAX_TF)
+    return out
+
+
+def tokenize(text: str | None, config: str = "english",
+             stem_cache: dict | None = None) -> tuple[list[str], list[int], int]:
+    """text -> (sorted lexemes, tfs, doc_length). doc_length = Σ tf (raw).
+
+    Mirrors the reference's tp_tokenize_text contract
+    (src/access/build.c:974-1059): chunk, per-chunk tokenize with the tf
+    cap, then merge chunk frequencies by term.
+    """
+    if config not in _CONFIGS:
+        raise ValueError(f"unknown text_config {config!r}; supported: {_CONFIGS}")
+    if not text:
+        return [], [], 0
+    if stem_cache is None:
+        stem_cache = {}
+    merged: Counter = Counter()
+    for chunk in _split_chunks(text):
+        merged.update(_chunk_term_freqs(chunk, config, stem_cache))
+    if not merged:
+        return [], [], 0
+    terms = sorted(merged)
+    tfs = [merged[t] for t in terms]
+    return terms, tfs, int(sum(tfs))
+
+
+def tokenize_batch(texts: Iterable[str | None], config: str = "english"):
+    """Tokenize a batch sharing one stem cache (for Arrow UDFs)."""
+    cache: dict = {}
+    return [tokenize(t, config, cache) for t in texts]
+
+
+def tokenize_query(query: str, config: str = "english") -> list[tuple[str, int]]:
+    """query text -> [(term, query_freq)]; multiplicity weights the term
+    (reference: src/types/query.c:963-967)."""
+    terms, tfs, _ = tokenize(query, config)
+    return list(zip(terms, tfs))
+
+
+def sql_token_expr(text_col: str) -> str:
+    """DuckDB/ANSI expression producing this tokenizer's token list for the
+    ``simple`` config — used to build oracle SQL that shares the tokenizer
+    with the engine (the reference oracle shares to_tsvector the same way,
+    test/sql/validation.sql:1-12)."""
+    return f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+')"

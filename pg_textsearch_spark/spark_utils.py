@@ -1,0 +1,174 @@
+"""Spark helpers: session factory, JVM-side fieldnorm quantization, and the
+Arrow-batched tokenize→postings dataflow shared by the exhaustive scorer and
+the segment index builder."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .config import Bm25Options
+from .functions.fieldnorm import DECODE_TABLE, encode_fieldnorm
+from .functions.tokenizer import tokenize
+
+
+def get_spark(app: str = "pg_textsearch_spark", cpus: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """local[] session tuned like the production submit would be: AQE on
+    (runtime skew-join/partition-coalescing), Arrow on (all our UDFs are
+    Arrow-batched), shuffle partitions sized to the core count."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+    # Make the package importable in executor workers regardless of the
+    # driver's cwd (production equivalent: spark-submit --py-files pgts.zip).
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pypath = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + pypath if pypath else ""))
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+#: fieldnorm decode table as a Column array literal (JVM-side quantization).
+def _table_array():
+    return F.array(*[F.lit(int(v)) for v in DECODE_TABLE])
+
+
+def quantize_len_col(dl_col):
+    """decode(encode(dl)) as a pure built-in expression — stays inside
+    whole-stage codegen, no Python UDF: max table value <= dl."""
+    return F.aggregate(
+        F.filter(_table_array(), lambda v: v <= dl_col),
+        F.lit(0).cast("long"),
+        lambda acc, v: F.greatest(acc, v),
+    )
+
+
+POSTINGS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("term", T.StringType()),        # NULL marks an empty doc
+    T.StructField("tf", T.IntegerType()),
+    T.StructField("doc_len", T.LongType()),
+    T.StructField("fieldnorm", T.IntegerType()),
+    T.StructField("positions", T.ArrayType(T.IntegerType())),
+])
+
+
+def doc_postings(df: DataFrame, text_col: str, id_col: str,
+                 opts: Bm25Options) -> DataFrame:
+    """(docs) -> postings rows (doc_id, term, tf, doc_len, fieldnorm[,positions]).
+
+    One Arrow-batched pass (mapInPandas); per-batch stem memoization makes
+    the english config O(unique words). Empty docs emit a single NULL-term
+    marker row so downstream doc maps see every document.
+
+    Reference dataflow B3+B4 (src/access/build.c:974-1059,
+    src/segment/fieldnorm.c:311-326).
+    """
+    config = opts.text_config
+    want_pos = opts.store_positions
+
+    fields = [f for f in POSTINGS_SCHEMA.fields
+              if want_pos or f.name != "positions"]
+    schema = T.StructType(fields)
+
+    from .functions.tokenizer import TOKEN_PATTERN, ENGLISH_STOPWORDS, MAX_TF
+    from .functions.stemmer import stem as _stem
+
+    def run(batches):
+        cache: dict = {}
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            texts = pdf["text"]
+            out_ids, out_terms, out_tfs, out_dls, out_fns = [], [], [], [], []
+            out_pos = []
+            for did, text in zip(ids, texts):
+                if want_pos:
+                    terms, tfs, dl, pos = _tokenize_with_positions(
+                        text, config, cache)
+                else:
+                    terms, tfs, dl = tokenize(text, config, cache)
+                    pos = None
+                if not terms:
+                    out_ids.append(did); out_terms.append(None)
+                    out_tfs.append(0); out_dls.append(0); out_fns.append(0)
+                    if want_pos:
+                        out_pos.append(None)
+                    continue
+                n = len(terms)
+                out_ids.extend([did] * n)
+                out_terms.extend(terms)
+                out_tfs.extend(tfs)
+                out_dls.extend([dl] * n)
+                fn = int(encode_fieldnorm([dl])[0])
+                out_fns.extend([fn] * n)
+                if want_pos:
+                    out_pos.extend(pos)
+            data = {
+                "doc_id": np.asarray(out_ids, dtype=np.int64),
+                "term": out_terms,
+                "tf": np.asarray(out_tfs, dtype=np.int32),
+                "doc_len": np.asarray(out_dls, dtype=np.int64),
+                "fieldnorm": np.asarray(out_fns, dtype=np.int32),
+            }
+            if want_pos:
+                data["positions"] = out_pos
+            yield pd.DataFrame(data)
+
+    src = df.select(F.col(id_col).cast("long").alias("doc_id"),
+                    F.col(text_col).alias("text"))
+    return src.mapInPandas(run, schema)
+
+
+def _tokenize_with_positions(text, config, cache):
+    """Tokenize keeping per-term position lists (positions sidecar for
+    phrase queries; positions are 1-based indexes in the kept-token stream,
+    like tsvector positions)."""
+    from .functions.tokenizer import (
+        TOKEN_PATTERN, ENGLISH_STOPWORDS, MAX_WORD_LEN, MAX_TF)
+    from .functions.stemmer import stem as _stem
+    if not text:
+        return [], [], 0, []
+    words = TOKEN_PATTERN.findall(text.lower())
+    posmap: dict[str, list[int]] = {}
+    pos = 0
+    for w in words:
+        if len(w) > MAX_WORD_LEN:
+            continue
+        if config == "english":
+            lex = cache.get(w, "?")
+            if lex == "?":
+                lex = None if w in ENGLISH_STOPWORDS else _stem(w)
+                cache[w] = lex
+            if lex is None:
+                pos += 1  # tsvector counts stopword positions
+                continue
+        else:
+            lex = w
+        pos += 1
+        posmap.setdefault(lex, []).append(pos)
+    if not posmap:
+        return [], [], 0, []
+    terms = sorted(posmap)
+    tfs = [min(len(posmap[t]), MAX_TF) for t in terms]
+    positions = [posmap[t][:MAX_TF] for t in terms]
+    return terms, tfs, int(sum(tfs)), positions
