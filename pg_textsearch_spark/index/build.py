@@ -1,0 +1,296 @@
+"""Distributed BM25 index build (reference operators B1-B16).
+
+Dataflow (reference parallel build, src/access/build_parallel.c:1-15,
+re-expressed Spark-first):
+
+  source df
+    -> assign global doc_id (given id col, or xxhash64 of key columns)
+    -> deterministic doc_id-range segment assignment (``div`` on a span
+       recorded in the manifest — stable across resumes)
+    -> one Arrow tokenizer pass (doc_postings)
+    -> groupBy(segment_id).applyInPandas(packer): sort, block, compress,
+       write ``segments/seg-XXXXXX/{postings,docs}.parquet`` from the
+       executor, then the ``_SEG_SUCCESS.json`` marker (finalize-then-mark,
+       reference src/access/build.c:194-228)
+    -> driver collects per-segment stats rows -> manifest commit
+
+Checkpoint/resume: re-running ``build`` with the same arguments skips every
+segment whose marker exists — the packer checks the marker before doing any
+work and returns the recorded stats (idempotent per partition). Killing a
+build mid-job and re-running therefore resumes instead of restarting.
+
+Scale notes: no global sort anywhere; the only wide exchange is the
+postings shuffle keyed by segment (doc-range locality keeps delta gaps
+small and bounds any term's postings within a packer group by the segment's
+doc count). Skewed terms split into bounded shard rows (segment.py).
+Document metadata (incl. sha256) is written once as a columnar docmap
+(``docs/``), not carried through the postings shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import Bm25Options
+from ..spark_utils import doc_postings
+from .manifest import SEG_MARKER, Manifest, SegmentRecord
+from .segment import MAX_POSTINGS_PER_ROW, pack_postings_frame
+
+PACK_STATS_SCHEMA = T.StructType([
+    T.StructField("segment_id", T.StringType()),
+    T.StructField("num_docs", T.LongType()),
+    T.StructField("total_len", T.LongType()),
+    T.StructField("num_terms", T.LongType()),
+    T.StructField("num_postings", T.LongType()),
+    T.StructField("bytes", T.LongType()),
+    T.StructField("min_doc_id", T.LongType()),
+    T.StructField("max_doc_id", T.LongType()),
+    T.StructField("max_doc_freq", T.LongType()),
+    T.StructField("skew_factor", T.DoubleType()),
+    T.StructField("resumed", T.BooleanType()),
+])
+
+POSTINGS_DIR = "postings"
+DOCS_DIR = "docs"
+
+
+def _postings_arrow_schema(with_positions: bool):
+    import pyarrow as pa
+    fields = [
+        ("segment_id", pa.string()),
+        ("term", pa.string()), ("shard", pa.int64()),
+        ("min_doc_id", pa.int64()), ("last_doc_id", pa.int64()),
+        ("doc_freq", pa.int32()), ("num_blocks", pa.int32()),
+        ("doc_ids_bin", pa.binary()), ("tfs_bin", pa.binary()),
+        ("norms_bin", pa.binary()),
+        ("skip_last_doc_id", pa.list_(pa.int64())),
+        ("skip_doc_count", pa.list_(pa.int32())),
+        ("skip_max_tf", pa.list_(pa.int32())),
+        ("skip_min_norm", pa.list_(pa.int32())),
+        ("skip_doc_off", pa.list_(pa.int64())),
+        ("skip_tf_off", pa.list_(pa.int64())),
+        ("pos_counts_bin", pa.binary()), ("pos_deltas_bin", pa.binary()),
+    ]
+    return pa.schema(fields)
+
+
+def write_segment_files(seg_dir: str, packed: pd.DataFrame,
+                        docs: pd.DataFrame, with_positions: bool) -> int:
+    """Write postings + per-segment docmap parquet dirs, return bytes.
+
+    Files land under temp names first; the marker is written last by the
+    caller (finalize-then-mark). Postings/docs are parquet *directories* so
+    merge jobs can write them with Spark's native writer too."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdir = os.path.join(seg_dir, POSTINGS_DIR)
+    ddir = os.path.join(seg_dir, DOCS_DIR)
+    os.makedirs(pdir, exist_ok=True)
+    os.makedirs(ddir, exist_ok=True)
+    table = pa.Table.from_pandas(packed, schema=_postings_arrow_schema(with_positions),
+                                 preserve_index=False)
+    ppath = os.path.join(pdir, "part-0.parquet")
+    pq.write_table(table, ppath + ".tmp", compression="zstd",
+                   sorting_columns=[pq.SortingColumn(1)])
+    os.replace(ppath + ".tmp", ppath)
+
+    dpath = os.path.join(ddir, "part-0.parquet")
+    dt = pa.Table.from_pandas(docs, preserve_index=False)
+    pq.write_table(dt, dpath + ".tmp", compression="zstd")
+    os.replace(dpath + ".tmp", dpath)
+    return os.path.getsize(ppath) + os.path.getsize(dpath)
+
+
+def make_packer(index_path: str, seg_ids: dict[int, str], opts: Bm25Options):
+    """applyInPandas function packing one segment group (B5-B10)."""
+    with_positions = opts.store_positions
+    block_size = opts.block_size
+
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        seg_no = int(key[0])
+        seg_id = seg_ids[seg_no]
+        seg_dir = os.path.join(index_path, "segments", seg_id)
+        marker = os.path.join(seg_dir, SEG_MARKER)
+        if os.path.exists(marker):  # checkpoint hit: segment already built
+            with open(marker) as f:
+                st = json.load(f)
+            st["resumed"] = True
+            return pd.DataFrame([st])[list(PACK_STATS_SCHEMA.names)]
+
+        docs = (pdf[["doc_id", "doc_len", "fieldnorm"]]
+                .drop_duplicates("doc_id").sort_values("doc_id"))
+        postings = pdf[pdf["term"].notna()]
+        packed = pack_postings_frame(postings, block_size=block_size,
+                                     with_positions=with_positions)
+        packed.insert(0, "segment_id", seg_id)
+        nbytes = write_segment_files(seg_dir, packed, docs, with_positions)
+
+        dfreqs = packed.groupby("term")["doc_freq"].sum() if len(packed) else pd.Series(dtype=np.int64)
+        max_df = int(dfreqs.max()) if len(dfreqs) else 0
+        mean_df = float(dfreqs.mean()) if len(dfreqs) else 0.0
+        stats = {
+            "segment_id": seg_id,
+            "num_docs": int(len(docs)),
+            "total_len": int(docs["doc_len"].sum()),
+            "num_terms": int(dfreqs.size),
+            "num_postings": int(len(postings)),
+            "bytes": int(nbytes),
+            "min_doc_id": int(docs["doc_id"].min()) if len(docs) else 0,
+            "max_doc_id": int(docs["doc_id"].max()) if len(docs) else 0,
+            "max_doc_freq": max_df,
+            "skew_factor": float(max_df / mean_df) if mean_df else 0.0,
+            "resumed": False,
+        }
+        with open(marker + ".tmp", "w") as f:
+            json.dump(stats, f)
+        os.replace(marker + ".tmp", marker)
+        return pd.DataFrame([stats])[list(PACK_STATS_SCHEMA.names)]
+
+    return pack
+
+
+class Bm25Index:
+    """Public index API (reference SQL surface, SURVEY.md §2.4)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.manifest = Manifest.load(path)
+
+    # -- build (CREATE INDEX ... USING bm25) --------------------------------
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        docs: DataFrame,
+        text_col: str,
+        path: str,
+        id_col: str | None = None,
+        opts: Bm25Options | None = None,
+        num_segments: int | None = None,
+        resume: bool = False,
+    ) -> "Bm25Index":
+        opts = opts or Bm25Options()
+        if Manifest.exists(path) and not resume:
+            raise FileExistsError(
+                f"index already exists at {path}; pass resume=True to resume/append-check")
+
+        if id_col is None:
+            key_cols = [c for c in docs.columns if c != text_col]
+            docs = docs.withColumn("__doc_id", F.xxhash64(*key_cols))
+            id_col = "__doc_id"
+
+        src = docs.withColumn("__id", F.col(id_col).cast("long"))
+        lo, hi, n = src.agg(
+            F.min("__id"), F.max("__id"), F.count(F.lit(1))).collect()[0]
+        if n == 0:
+            raise ValueError("cannot build an index over an empty DataFrame")
+        if num_segments is None:
+            num_segments = max(1, -(-n // opts.docs_per_segment))
+        span = max(1, -(-(hi - lo + 1) // num_segments))
+
+        manifest = Manifest(path, opts)
+        seg_ids = {i: manifest.new_segment_id() for i in range(num_segments)}
+        os.makedirs(os.path.join(path, "segments"), exist_ok=True)
+
+        postings = doc_postings(src, text_col, "__id", opts)
+        seg_col = F.expr(f"CAST((doc_id - {lo}) DIV {span} AS INT)")
+        stats_df = (
+            postings.withColumn("seg", seg_col)
+            .groupBy("seg")
+            .applyInPandas(make_packer(path, seg_ids, opts), PACK_STATS_SCHEMA)
+        )
+        stats = stats_df.collect()
+
+        for r in stats:
+            manifest.add_segment(SegmentRecord(
+                segment_id=r["segment_id"], level=0,
+                num_docs=r["num_docs"], total_len=r["total_len"],
+                num_terms=r["num_terms"], num_postings=r["num_postings"],
+                bytes=r["bytes"], min_doc_id=r["min_doc_id"],
+                max_doc_id=r["max_doc_id"], max_doc_freq=r["max_doc_freq"],
+                skew_factor=r["skew_factor"],
+                lineage={"kind": "build", "id_lo": int(lo), "id_hi": int(hi),
+                         "span": int(span), "resumed": bool(r["resumed"])},
+            ))
+        manifest.save()
+
+        # global docmap with the per-row content invariant (sha256)
+        docmap_dir = os.path.join(path, "docs")
+        meta_cols = [c for c in docs.columns
+                     if c not in ("__id", "__doc_id", id_col, text_col)]
+        (src.select(F.col("__id").alias("doc_id"),
+                    F.sha2(F.col(text_col).cast("string"), 256).alias("content_sha256"),
+                    *[F.col(c) for c in meta_cols])
+            .write.mode("overwrite").parquet(docmap_dir))
+        return cls(spark, path)
+
+    # -- introspection (bm25_summarize_index analogue) ----------------------
+    def stats(self) -> dict:
+        m = self.manifest
+        return {
+            "total_docs": m.total_docs,
+            "total_len": m.total_len,
+            "avgdl": m.avgdl,
+            "num_segments": len(m.segments),
+            "levels": {lvl: len(segs) for lvl, segs in m.levels.items()},
+            "num_terms_per_segment": {s.segment_id: s.num_terms for s in m.segments},
+            "bytes": sum(s.bytes for s in m.segments),
+            "max_skew_factor": max((s.skew_factor for s in m.segments), default=0.0),
+            "options": m.opts.to_dict(),
+        }
+
+    def postings_paths(self) -> list[str]:
+        return [os.path.join(self.manifest.segment_dir(s.segment_id), POSTINGS_DIR)
+                for s in self.manifest.segments]
+
+    def docs_paths(self) -> list[str]:
+        return [os.path.join(self.manifest.segment_dir(s.segment_id), DOCS_DIR)
+                for s in self.manifest.segments]
+
+    def docmap(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "docs"))
+
+    def verify_content(self, source: DataFrame, text_col: str, id_col: str) -> int:
+        """Assert per-row sha256(content) equality vs the source (input_hint
+        end-to-end invariant). Returns number of rows checked; raises on any
+        mismatch."""
+        src = source.select(F.col(id_col).cast("long").alias("doc_id"),
+                            F.sha2(F.col(text_col).cast("string"), 256).alias("src_sha"))
+        joined = self.docmap().select("doc_id", "content_sha256").join(src, "doc_id", "full")
+        bad = joined.filter(
+            F.col("content_sha256").isNull() | F.col("src_sha").isNull()
+            | (F.col("content_sha256") != F.col("src_sha"))).count()
+        if bad:
+            raise AssertionError(f"content sha256 mismatch on {bad} rows")
+        return joined.count()
+
+    # -- search API lives in query.py; bound here for convenience -----------
+    def search(self, query: str, k: int | None = 10, mode: str = "or",
+               round_to: int = 4) -> DataFrame:
+        from .query import search_index
+        return search_index(self, query, k=k, mode=mode, round_to=round_to)
+
+    def term_stats(self, terms: list[str]) -> DataFrame:
+        from .query import term_stats
+        return term_stats(self, terms)
+
+    def force_merge(self):
+        from .merge import force_merge_all
+        return force_merge_all(self)
+
+    def compact(self) -> int:
+        from .merge import compact_tiered
+        return compact_tiered(self)
+
+    def append(self, docs: DataFrame, text_col: str, id_col: str) -> None:
+        from ..streaming.append import append_batch
+        append_batch(self, docs, text_col, id_col)

@@ -1,0 +1,192 @@
+"""LSM segment merges (reference operators M1-M3, M5).
+
+The reference merges 8 same-level segments into one next-level segment by an
+N-way term-sorted cursor walk (src/segment/merge.c:1409-1891) and recurses
+when a level fills (tiered compaction, src/segment/merge.c:1896-1944).
+``bm25_force_merge`` collapses everything to one segment
+(src/segment/merge.c:1951-1972).
+
+Spark-first re-expression: a merge is one job —
+
+  read input segments' postings (columnar)
+    -> decode to posting rows in Arrow batches (mapInPandas, streaming)
+    -> repartition by (term, salt) where salt = doc_id DIV salt_span —
+       SALTED REPARTITIONING: a mega-term (common keyword) is split into
+       bounded doc-range groups instead of one skewed reducer, and because
+       salt is a doc_id prefix the groups re-assemble deterministically as
+       consecutive shard rows
+    -> pack each group (same block/skip/varbyte layout as the base build)
+    -> write the new segment with Spark's parquet writer
+    -> commit manifest (remove inputs, add output), then delete input dirs
+       (the reference's tombstone-then-free, src/segment/tombstone.c).
+
+Doc ids are globally unique and segments are disjoint doc sets, so merging
+never remaps ids (the reference must remap because its ids are
+segment-local, merge.c:658-882 — our global-id design removes the problem).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ..config import Bm25Options
+from .manifest import SEG_MARKER, SegmentRecord
+from .segment import decode_positions, decode_row, pack_postings_frame
+
+DECODE_SCHEMA = ("term string, doc_id long, tf int, fieldnorm int, "
+                 "positions array<int>")
+
+
+def _decode_rows(opts: Bm25Options):
+    block_size = opts.block_size
+    with_pos = opts.store_positions
+
+    def run(batches):
+        for pdf in batches:
+            outs = []
+            for _, r in pdf.iterrows():
+                ids, tfs, norms = decode_row(r, block_size)
+                d = {"term": np.repeat(r["term"], ids.size),
+                     "doc_id": ids, "tf": tfs.astype(np.int32),
+                     "fieldnorm": norms.astype(np.int32)}
+                frame = pd.DataFrame(d)
+                if with_pos:
+                    pos = decode_positions(r)
+                    frame["positions"] = [p.astype(np.int32) for p in pos] if pos else None
+                else:
+                    frame["positions"] = None
+                outs.append(frame)
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return run
+
+
+def merge_segments(index, seg_records: list[SegmentRecord], out_level: int,
+                   n_salts: int = 32) -> SegmentRecord:
+    """Merge the given segments into one new segment at out_level."""
+    spark = index.spark
+    manifest = index.manifest
+    opts = manifest.opts
+    seg_id = manifest.new_segment_id()
+    seg_dir = manifest.segment_dir(seg_id)
+
+    in_postings = [os.path.join(manifest.segment_dir(s.segment_id), "postings")
+                   for s in seg_records]
+    in_docs = [os.path.join(manifest.segment_dir(s.segment_id), "docs")
+               for s in seg_records]
+
+    lo = min(s.min_doc_id for s in seg_records)
+    hi = max(s.max_doc_id for s in seg_records)
+    salt_span = max(1, (hi - lo + 1) // n_salts)
+
+    rows = spark.read.parquet(*in_postings)
+    decoded = rows.mapInPandas(_decode_rows(opts), DECODE_SCHEMA)
+    salted = decoded.withColumn(
+        "salt", F.expr(f"CAST((doc_id - {lo}) DIV {salt_span} AS INT)"))
+
+    block_size = opts.block_size
+    with_pos = opts.store_positions
+
+    def pack_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        packed = pack_postings_frame(pdf, block_size=block_size,
+                                     with_positions=with_pos)
+        # shard ids must be unique per (term, salt); doc-range order is
+        # carried by min_doc_id, which the query kernel uses for assembly
+        packed["shard"] = packed["shard"].astype(np.int64) * int(1e6) + int(key[1])
+        packed.insert(0, "segment_id", seg_id)
+        return packed
+
+    from .build import PACK_STATS_SCHEMA, _postings_arrow_schema  # schema reuse
+    out_schema_fields = _postings_arrow_schema(True)
+    spark_schema = ("segment_id string, term string, shard long, "
+                    "min_doc_id long, last_doc_id long, doc_freq int, "
+                    "num_blocks int, doc_ids_bin binary, tfs_bin binary, "
+                    "norms_bin binary, skip_last_doc_id array<long>, "
+                    "skip_doc_count array<int>, skip_max_tf array<int>, "
+                    "skip_min_norm array<int>, skip_doc_off array<long>, "
+                    "skip_tf_off array<long>, pos_counts_bin binary, "
+                    "pos_deltas_bin binary")
+    packed = (salted.groupBy("term", "salt")
+              .applyInPandas(pack_group, spark_schema))
+    packed.write.mode("overwrite").parquet(os.path.join(seg_dir, "postings"))
+
+    docs = spark.read.parquet(*in_docs)
+    docs.write.mode("overwrite").parquet(os.path.join(seg_dir, "docs"))
+
+    # stats for the manifest record
+    st = spark.read.parquet(os.path.join(seg_dir, "postings")).agg(
+        F.countDistinct("term").alias("num_terms"),
+        F.sum("doc_freq").alias("num_postings"),
+        F.min("min_doc_id").alias("min_id"),
+        F.max("last_doc_id").alias("max_id"),
+    ).collect()[0]
+    dstats = spark.read.parquet(os.path.join(seg_dir, "docs")).agg(
+        F.count(F.lit(1)).alias("num_docs"),
+        F.sum("doc_len").alias("total_len"),
+    ).collect()[0]
+    tstats = (spark.read.parquet(os.path.join(seg_dir, "postings"))
+              .groupBy("term").agg(F.sum("doc_freq").alias("df"))
+              .agg(F.max("df").alias("max_df"), F.avg("df").alias("mean_df"))
+              .collect()[0])
+    nbytes = sum(os.path.getsize(os.path.join(dp, f))
+                 for base in ("postings", "docs")
+                 for dp in [os.path.join(seg_dir, base)]
+                 for f in os.listdir(dp) if f.endswith(".parquet"))
+
+    rec = SegmentRecord(
+        segment_id=seg_id, level=out_level,
+        num_docs=int(dstats["num_docs"]), total_len=int(dstats["total_len"] or 0),
+        num_terms=int(st["num_terms"] or 0), num_postings=int(st["num_postings"] or 0),
+        bytes=int(nbytes),
+        min_doc_id=int(st["min_id"] if st["min_id"] is not None else 0),
+        max_doc_id=int(st["max_id"] if st["max_id"] is not None else 0),
+        max_doc_freq=int(tstats["max_df"] or 0),
+        skew_factor=float((tstats["max_df"] or 0) / tstats["mean_df"]) if tstats["mean_df"] else 0.0,
+        lineage={"kind": "merge", "inputs": [s.segment_id for s in seg_records],
+                 "n_salts": n_salts},
+    )
+    import json
+    with open(os.path.join(seg_dir, SEG_MARKER), "w") as f:
+        json.dump(rec.to_dict(), f)
+
+    # atomic manifest swap, then reclaim input dirs (M5)
+    manifest.replace_segments({s.segment_id for s in seg_records}, [rec])
+    manifest.save()
+    for s in seg_records:
+        shutil.rmtree(manifest.segment_dir(s.segment_id), ignore_errors=True)
+    return rec
+
+
+def compact_tiered(index) -> int:
+    """Tiered compaction (M1): while any level holds >= segments_per_level
+    segments, merge the oldest batch into the next level. Returns number of
+    merges performed."""
+    opts = index.manifest.opts
+    fanin = opts.segments_per_level
+    merges = 0
+    lvl = 0
+    while lvl < 64:
+        segs = index.manifest.levels.get(lvl, [])
+        if len(segs) >= fanin:
+            batch = sorted(segs, key=lambda s: s.segment_id)[:fanin]
+            merge_segments(index, batch, lvl + 1)
+            merges += 1
+            continue  # re-check same level
+        lvl += 1
+        if lvl > max(index.manifest.levels, default=0):
+            break
+    return merges
+
+
+def force_merge_all(index) -> SegmentRecord | None:
+    """M3: merge ALL live segments (every level) into a single segment."""
+    segs = index.manifest.segments
+    if len(segs) <= 1:
+        return None
+    return merge_segments(index, segs, out_level=max(s.level for s in segs))
