@@ -1,38 +1,190 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 plus the
+training-data pipeline suite; ``oracle_sql()`` gives the DuckDB twin of each
+(same column names/types; scores rounded to 4dp; deterministic
+(score DESC, doc_id ASC) tie order — the reference's own validation
+convention, test/sql/validation.sql + validate_queries.sql).
+
+BM25 queries run the real segment-index engine (build once per sf_dir into
+a scratch dir, then Block-Max-pruned distributed search). The ``simple``
+text config is used for oracle-checked queries because it is
+SQL-expressible; the english/Snowball path is validated by tests/.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
+import shutil
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_textsearch_spark.config import Bm25Options
+from pg_textsearch_spark.index.build import Bm25Index
+from pg_textsearch_spark.operators.exhaustive import score_exhaustive
+from pg_textsearch_spark.operators import dedup, multimodal, similarity, textstats
+from pg_textsearch_spark import oracle as bm25_oracle
+
+SIMPLE_OPTS = Bm25Options(text_config="simple", store_positions=True,
+                          docs_per_segment=200)
+
+# queries chosen from the synthetic corpus vocabulary
+Q_SINGLE = "merge"
+Q_MULTI = "hash join merge"
+Q_AND = "window customer"
+Q_PHRASE = "hash value"
+Q_WEIGHTED = "merge merge batch"
+Q_ALL = "window customer"
+STAT_TERMS = ["hash", "join", "merge", "window", "zebra"]
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+EMB_DIM = 64
+
+_INDEX_CACHE: dict[str, Bm25Index] = {}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _index_for(spark: SparkSession, sf_dir: str) -> Bm25Index:
+    """Build (once per process) the segment index over sf_dir's documents."""
+    key = os.path.abspath(sf_dir)
+    idx = _INDEX_CACHE.get(key)
+    if idx is not None:
+        return idx
+    tag = hashlib.md5(key.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"pgts_entry_idx_{tag}")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    idx = Bm25Index.build(spark, _docs(spark, sf_dir), "text", path,
+                          id_col="doc_id", opts=SIMPLE_OPTS)
+    _INDEX_CACHE[key] = idx
+    return idx
+
+
+def _merged_index_for(spark: SparkSession, sf_dir: str) -> Bm25Index:
+    """Build in two halves via append + force_merge — exercises the LSM
+    merge path through the same oracle as a one-shot build."""
+    key = "merged:" + os.path.abspath(sf_dir)
+    idx = _INDEX_CACHE.get(key)
+    if idx is not None:
+        return idx
+    tag = hashlib.md5(key.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"pgts_entry_idx_{tag}")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    docs = _docs(spark, sf_dir)
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    rest = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = Bm25Index.build(spark, half, "text", path, id_col="doc_id",
+                          opts=SIMPLE_OPTS)
+    idx.append(rest, "text", "doc_id")
+    idx.force_merge()
+    _INDEX_CACHE[key] = idx
+    return idx
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the BM25 segment index over sf0.001 documents and run
+    a multi-term top-10 Block-Max search, joined back to doc metadata."""
+    sf_dir = "/root/testdata/sf0.001"
+    idx = _index_for(spark, sf_dir)
+    top = idx.search(Q_MULTI, k=10)
+    meta = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    return top.join(F.broadcast(meta), "doc_id") \
+              .orderBy(F.desc("score"), F.asc("doc_id"))
 
+
+# --------------------------------------------------------------------------
+# queries: name -> (spark, sf_dir) -> DataFrame
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- BM25 engine (segment index + BMW) ---
+    q["bm25_topk_single"] = lambda s, d: _index_for(s, d).search(Q_SINGLE, k=10)
+    q["bm25_topk_multi"] = lambda s, d: _index_for(s, d).search(Q_MULTI, k=10)
+    q["bm25_topk_and"] = lambda s, d: _index_for(s, d).search(Q_AND, k=10, mode="and")
+    q["bm25_phrase"] = lambda s, d: _index_for(s, d).search(Q_PHRASE, k=10, mode="phrase")
+    q["bm25_topk_weighted"] = lambda s, d: _index_for(s, d).search(Q_WEIGHTED, k=10)
+    q["bm25_topk_merged"] = lambda s, d: _merged_index_for(s, d).search(Q_MULTI, k=10)
+    q["bm25_term_stats"] = lambda s, d: _index_for(s, d).term_stats(STAT_TERMS)
 
+    # --- BM25 exhaustive join/groupBy path (reference Q9) ---
+    q["bm25_score_all"] = lambda s, d: score_exhaustive(
+        s, _docs(s, d), "text", "doc_id", Q_ALL,
+        opts=Bm25Options(text_config="simple"), k=None)
+
+    # --- text analysis ---
+    q["text_token_count"] = lambda s, d: textstats.token_counts(_docs(s, d))
+    q["text_quality"] = lambda s, d: textstats.quality_scores(_docs(s, d))
+    q["text_langid"] = lambda s, d: textstats.lang_id(_docs(s, d))
+    q["text_fingerprint"] = lambda s, d: textstats.fingerprints(_docs(s, d))
+
+    # --- dedup ---
+    q["dedup_exact"] = lambda s, d: dedup.exact_dedup(_docs(s, d))
+    q["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
+        _docs(s, d), threshold=0.2)
+    q["dedup_minhash_sig"] = lambda s, d: dedup.minhash_signatures(_docs(s, d))
+    q["dedup_minhash_pairs"] = lambda s, d: dedup.minhash_candidate_pairs(_docs(s, d))
+    q["dedup_simhash"] = lambda s, d: dedup.simhash(_docs(s, d))
+    q["dedup_embed_pairs"] = lambda s, d: dedup.embedding_dup_pairs(
+        _embs(s, d), threshold=0.45)
+
+    # --- similarity search ---
+    q["ann_cosine_topk"] = lambda s, d: similarity.cosine_topk(
+        _embs(s, d), ANN_QUERY_IDS, k=5)
+    q["ann_ivf_topk"] = lambda s, d: similarity.ivf_topk(
+        _embs(s, d), ANN_QUERY_IDS, k=5)
+
+    # --- multimodal plumbing ---
+    q["multimodal_features"] = lambda s, d: multimodal.extract_features(
+        multimodal.to_blob_table(_docs(s, d)))
+
+    return q
+
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB; documents/embeddings pre-registered as views)
+# --------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+    o["bm25_topk_single"] = bm25_oracle.bm25_oracle_sql(Q_SINGLE, k=10)
+    o["bm25_topk_multi"] = bm25_oracle.bm25_oracle_sql(Q_MULTI, k=10)
+    o["bm25_topk_and"] = bm25_oracle.bm25_oracle_sql(Q_AND, k=10, mode="and")
+    o["bm25_phrase"] = bm25_oracle.bm25_oracle_sql(Q_PHRASE, k=10, mode="phrase")
+    o["bm25_topk_weighted"] = bm25_oracle.bm25_oracle_sql(Q_WEIGHTED, k=10)
+    o["bm25_topk_merged"] = bm25_oracle.bm25_oracle_sql(Q_MULTI, k=10)
+    o["bm25_term_stats"] = bm25_oracle.term_stats_oracle_sql(STAT_TERMS)
+    o["bm25_score_all"] = bm25_oracle.bm25_oracle_sql(Q_ALL, k=None)
+
+    o["text_token_count"] = textstats.token_counts_oracle_sql()
+    o["text_quality"] = textstats.quality_scores_oracle_sql()
+    o["text_langid"] = textstats.lang_id_oracle_sql()
+    o["text_fingerprint"] = textstats.fingerprints_oracle_sql()
+
+    o["dedup_exact"] = dedup.exact_dedup_oracle_sql()
+    o["dedup_ngram_jaccard"] = dedup.ngram_jaccard_pairs_oracle_sql(threshold=0.2)
+    o["dedup_minhash_sig"] = dedup.minhash_signatures_oracle_sql()
+    o["dedup_minhash_pairs"] = dedup.minhash_candidate_pairs_oracle_sql()
+    o["dedup_simhash"] = dedup.simhash_oracle_sql()
+    o["dedup_embed_pairs"] = dedup.embedding_dup_pairs_oracle_sql(
+        threshold=0.45, dim=EMB_DIM)
+
+    o["ann_cosine_topk"] = similarity.cosine_topk_oracle_sql(
+        ANN_QUERY_IDS, k=5, dim=EMB_DIM)
+    o["ann_ivf_topk"] = similarity.ivf_topk_oracle_sql(
+        ANN_QUERY_IDS, k=5, dim=EMB_DIM)
+
+    o["multimodal_features"] = multimodal.extract_features_oracle_sql()
+    return o

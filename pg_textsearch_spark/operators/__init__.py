@@ -1,0 +1,4 @@
+"""Operator suite: BM25 scoring paths + training-data pipeline operators."""
+
+from .exhaustive import score_exhaustive  # noqa: F401
+from . import dedup, multimodal, similarity, textstats  # noqa: F401

@@ -1,0 +1,367 @@
+"""Deduplication operators for training-data pipelines.
+
+Five standard dedup families, each Spark-first (built-in expressions +
+shuffle-conscious join shapes) with a DuckDB oracle-SQL twin for the
+driver's correctness gate:
+
+- ``exact_dedup``          — sha256 hash-groupBy (exact duplicate clusters)
+- ``ngram_jaccard_pairs``  — word-n-gram shingle inverted-index self-join
+- ``minhash_signatures`` / ``minhash_candidate_pairs`` — MinHash + LSH banding
+- ``simhash``              — 32-bit SimHash over tf-weighted token hashes
+- ``embedding_dup_pairs``  — cosine near-duplicate pairs over embeddings
+
+Determinism: all hashing is the md5-derived 32-bit hash (``hash32_col``)
+computable bit-identically in Spark and DuckDB — no engine-specific hash
+functions, so the same signatures/buckets arise in both. At 100 TB scale the
+pair-generating joins are bounded by bucketing (LSH bands / shingle postings
+with frequency capping), never a cartesian product; the brute-force shapes
+here are the small-scale oracle baselines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import WORD_RE, hash32_col, hash32_sql
+
+# ------------------------------------------------------------------ exact
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate clusters by content sha256: one row per distinct
+    content, keeper = min doc_id. The 100 TB shape: map-side partial agg on
+    the hash then one shuffle keyed by sha256 — no text comparison ever."""
+    return (docs
+            .select(F.col(id_col).alias("doc_id"),
+                    F.sha2(F.col(text_col), 256).alias("content_sha256"))
+            .groupBy("content_sha256")
+            .agg(F.min("doc_id").alias("keeper_doc_id"),
+                 F.count("*").alias("n_copies"))
+            .orderBy("keeper_doc_id"))
+
+
+def exact_dedup_oracle_sql(table: str = "documents", text_col: str = "text",
+                           id_col: str = "doc_id") -> str:
+    return f"""
+SELECT sha256({text_col}) AS content_sha256,
+       MIN({id_col}) AS keeper_doc_id,
+       count(*)::BIGINT AS n_copies
+FROM {table}
+GROUP BY 1 ORDER BY keeper_doc_id
+"""
+
+
+# ----------------------------------------------------- shingles (shared)
+
+NGRAM_N = 3
+
+
+def _shingles_col(text_col: str):
+    """Distinct word-3-gram shingles as an array column (JVM-side)."""
+    words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
+    return F.when(
+        F.size(words) >= NGRAM_N,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.size(words) - NGRAM_N),
+            lambda i: F.concat_ws(" ", *[
+                F.element_at(words, (i + j + 1).cast("int"))
+                for j in range(NGRAM_N)])))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+_SHINGLES_SQL = (
+    "list_distinct(list_transform("
+    "range(1, GREATEST(len(words) - {nm1}, 0) + 1), "
+    "i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))"
+).format(nm1=NGRAM_N - 1)
+
+
+def _shingle_base_sql(table: str, text_col: str, id_col: str) -> str:
+    return f"""
+base AS (
+  SELECT {id_col} AS doc_id,
+         regexp_extract_all(lower({text_col}), '{WORD_RE}') AS words
+  FROM {table}
+),
+shing AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS shingles
+  FROM base WHERE len(words) >= {NGRAM_N}
+)"""
+
+
+# -------------------------------------------------- n-gram Jaccard pairs
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs with word-3-gram Jaccard >= threshold via the
+    inverted-index self-join: explode shingles, join docs sharing a shingle
+    (the only shuffle is keyed by shingle — at scale, cap hot shingles by
+    df like the BM25 index salts hot terms), count shared, Jaccard from the
+    per-doc distinct counts."""
+    sh = (docs.select(F.col(id_col).alias("doc_id"),
+                      _shingles_col(text_col).alias("shingles"))
+          .filter(F.size("shingles") > 0))
+    sizes = sh.select("doc_id", F.size("shingles").cast("long").alias("n_sh"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    pairs = (ex.alias("a").join(ex.alias("b"), "shingle")
+             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("shared")))
+    out = (pairs
+           .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                      .withColumnRenamed("n_sh", "n_a"), "doc_a")
+           .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                      .withColumnRenamed("n_sh", "n_b"), "doc_b")
+           .select("doc_a", "doc_b",
+                   F.round(F.col("shared") /
+                           (F.col("n_a") + F.col("n_b") - F.col("shared")),
+                           4).alias("jaccard"))
+           .filter(F.col("jaccard") >= threshold)
+           .orderBy("doc_a", "doc_b"))
+    return out
+
+
+def ngram_jaccard_pairs_oracle_sql(threshold: float = 0.2,
+                                   table: str = "documents",
+                                   text_col: str = "text",
+                                   id_col: str = "doc_id") -> str:
+    return f"""
+WITH {_shingle_base_sql(table, text_col, id_col)},
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM shing),
+sizes AS (SELECT doc_id, len(shingles)::BIGINT AS n_sh FROM shing),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS shared
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b,
+       ROUND(p.shared / (sa.n_sh + sb.n_sh - p.shared)::DOUBLE, 4) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+WHERE ROUND(p.shared / (sa.n_sh + sb.n_sh - p.shared)::DOUBLE, 4) >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ------------------------------------------------------- MinHash + LSH
+
+NUM_HASHES = 8
+BAND_SIZE = 2  # -> 4 bands
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Per-doc MinHash signature: mh_i = min over shingles of
+    hash32(i || ':' || shingle). One explode + one groupBy — the signature
+    computation is a map-side-combinable aggregation (shuffle carries 8
+    ints per doc, not the shingles)."""
+    sh = (docs.select(F.col(id_col).alias("doc_id"),
+                      _shingles_col(text_col).alias("shingles"))
+          .filter(F.size("shingles") > 0))
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    aggs = [
+        F.min(hash32_col(F.concat(F.lit(f"{i}:"), F.col("shingle"))))
+        .alias(f"mh_{i}")
+        for i in range(NUM_HASHES)
+    ]
+    return ex.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+def _mh_sql_cols() -> str:
+    cols = []
+    for i in range(NUM_HASHES):
+        expr = hash32_sql("'" + str(i) + ":' || shingle")
+        cols.append("MIN(" + expr + ") AS mh_" + str(i))
+    return ",\n         ".join(cols)
+
+
+def minhash_signatures_oracle_sql(table: str = "documents",
+                                  text_col: str = "text",
+                                  id_col: str = "doc_id") -> str:
+    return f"""
+WITH {_shingle_base_sql(table, text_col, id_col)},
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM shing)
+SELECT doc_id,
+         {_mh_sql_cols()}
+FROM ex GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def minhash_candidate_pairs_oracle_sql(table: str = "documents",
+                                       text_col: str = "text",
+                                       id_col: str = "doc_id") -> str:
+    n_bands = NUM_HASHES // BAND_SIZE
+    band_rows = []
+    for bnd in range(n_bands):
+        parts = " || '_' || ".join(
+            f"mh_{bnd * BAND_SIZE + j}::VARCHAR" for j in range(BAND_SIZE))
+        band_rows.append(
+            f"SELECT doc_id, {bnd} AS band, md5({parts}) AS bkey, "
+            + ", ".join(f"mh_{i}" for i in range(NUM_HASHES))
+            + " FROM sig")
+    bands_sql = "\n  UNION ALL\n  ".join(band_rows)
+    eq = " + ".join(
+        f"(CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END)"
+        for i in range(NUM_HASHES))
+    return f"""
+WITH {_shingle_base_sql(table, text_col, id_col)},
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM shing),
+sig AS (
+  SELECT doc_id,
+         {_mh_sql_cols()}
+  FROM ex GROUP BY doc_id
+),
+bands AS (
+  {bands_sql}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(({eq}) / {float(NUM_HASHES)}, 4) AS est_jaccard
+FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+WHERE a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """LSH banding: band key = hash of BAND_SIZE consecutive signature
+    entries; candidate pair = docs sharing any band bucket; est_jaccard =
+    fraction of equal signature entries. The join is keyed by (band, key) —
+    bucket sizes bound the fanout, the classic LSH scale shape."""
+    sig = minhash_signatures(docs, text_col, id_col)
+    bands = []
+    for bnd in range(NUM_HASHES // BAND_SIZE):
+        cols = [F.col(f"mh_{bnd * BAND_SIZE + j}") for j in range(BAND_SIZE)]
+        key = F.md5(F.concat_ws("_", *[c.cast("string") for c in cols]))
+        bands.append(sig.select("doc_id", F.lit(bnd).alias("band"),
+                                key.alias("bkey"),
+                                *[F.col(f"mh_{i}") for i in range(NUM_HASHES)]))
+    allb = bands[0]
+    for b in bands[1:]:
+        allb = allb.unionByName(b)
+    a, b = allb.alias("a"), allb.alias("b")
+    eq = sum(
+        F.when(F.col(f"a.mh_{i}") == F.col(f"b.mh_{i}"), 1).otherwise(0)
+        for i in range(NUM_HASHES))
+    pairs = (a.join(b, ["band", "bkey"])
+             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     F.round(eq / F.lit(float(NUM_HASHES)), 4)
+                     .alias("est_jaccard"))
+             .distinct()
+             .orderBy("doc_a", "doc_b"))
+    return pairs
+
+
+# ------------------------------------------------------------- SimHash
+
+SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash: per distinct token, 32-bit hash32; bit b of the
+    fingerprint set iff Σ_tokens tf·(2·bit_b(h)−1) > 0. Implemented as
+    explode(term) × posexplode(bits) → two map-side-combinable aggs."""
+    words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
+    toks = (docs.select(F.col(id_col).alias("doc_id"),
+                        F.explode(words).alias("w"))
+            .groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+            .withColumn("h", hash32_col(F.col("w"))))
+    bits = toks.select(
+        "doc_id", "tf", "h",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"))
+    per_bit = (bits
+               .withColumn("v", F.col("tf") *
+                           (F.expr("shiftright(h, bit) & 1") * 2 - 1))
+               .groupBy("doc_id", "bit").agg(F.sum("v").alias("sv")))
+    return (per_bit
+            .groupBy("doc_id")
+            .agg(F.sum(F.when(F.col("sv") > 0,
+                              F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+                       .otherwise(F.lit(0))).alias("simhash"))
+            .orderBy("doc_id"))
+
+
+def simhash_oracle_sql(table: str = "documents", text_col: str = "text",
+                       id_col: str = "doc_id") -> str:
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, w, count(*)::BIGINT AS tf
+  FROM (SELECT {id_col},
+               unnest(regexp_extract_all(lower({text_col}), '{WORD_RE}')) AS w
+        FROM {table})
+  GROUP BY 1, 2
+),
+hashed AS (SELECT doc_id, tf, {hash32_sql('w')} AS h FROM toks),
+bits AS (
+  SELECT doc_id, b.bit,
+         SUM(tf * (((h >> b.bit) & 1) * 2 - 1))::BIGINT AS sv
+  FROM hashed, (SELECT unnest(range(0, {SIMHASH_BITS})) AS bit) b
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       SUM(CASE WHEN sv > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# -------------------------------------------- embedding cosine near-dups
+
+def embedding_dup_pairs(embs: DataFrame, threshold: float = 0.9,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Near-dup pairs by cosine similarity >= threshold. Small-scale oracle
+    baseline is the full self-join; the scale path blocks candidates by LSH
+    /IVF buckets first (see operators.similarity). Dot/norm are strict
+    left-fold F.aggregate over doubles — bit-identical to the DuckDB oracle's
+    list_sum fold."""
+    v = F.col(vec_col).cast("array<double>")
+    base = embs.select(F.col(id_col).alias("vec_id"), v.alias("v"),
+                       _norm_col(v).alias("nrm"))
+    a, b = base.alias("a"), base.alias("b")
+    cos = _dot_col(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"),
+                    F.round(cos, 4).alias("cos"))
+            .filter(F.col("cos") >= threshold)
+            .orderBy("vec_a", "vec_b"))
+
+
+def _dot_col(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm_col(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+DOT_SQL = ("list_sum(list_transform(range(1, {dim} + 1), "
+           "i -> ({a})[i] * ({b})[i]))")
+NORM_SQL = "sqrt(list_sum(list_transform({a}, x -> x * x)))"
+
+
+def embedding_dup_pairs_oracle_sql(threshold: float = 0.9, dim: int = 64,
+                                   table: str = "embeddings",
+                                   vec_col: str = "embedding",
+                                   id_col: str = "vec_id") -> str:
+    dot = DOT_SQL.format(dim=dim, a="a.v", b="b.v")
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS v,
+         {NORM_SQL.format(a=f"{vec_col}::DOUBLE[]")} AS nrm
+  FROM {table}
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({dot} / (a.nrm * b.nrm), 4) AS cos
+FROM base a JOIN base b ON a.vec_id < b.vec_id
+WHERE ROUND({dot} / (a.nrm * b.nrm), 4) >= {threshold}
+ORDER BY vec_a, vec_b
+"""

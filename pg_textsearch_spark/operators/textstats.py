@@ -1,0 +1,284 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot paths are JVM-side built-in expressions (regexp_extract_all,
+higher-order array functions, window functions) — no Python UDFs — so at
+100 TB they run inside whole-stage codegen with filters/projections pushed
+to the parquet scan. Each operator ships a matching DuckDB oracle-SQL
+generator used by the driver's correctness gate.
+
+Operators:
+- ``token_counts``      — whitespace / word-regex / BPE-ish-regex token counts
+- ``quality_scores``    — length, punctuation-ratio, stopword-ratio quality score
+- ``lang_id``           — marker-word + script n-gram language heuristic
+- ``fingerprints``      — winnowing document fingerprints (rolling k-gram
+                          hashes, window-min selection; Schleimer et al. 2003)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tokenizer import ENGLISH_STOPWORDS
+
+WORD_RE = "[a-z0-9_]+"
+WS_RE = "[^ \\t\\n\\r]+"
+# BPE-ish pre-tokenizer: letter runs, single digits, single non-alnum marks
+BPE_RE = "[a-z]+|[0-9]|[^a-z0-9 \\t\\n\\r]"
+
+#: deterministic 32-bit hash computable identically in Spark and DuckDB:
+#: first 8 hex chars of md5, parsed as an unsigned int.
+def hash32_col(col) -> F.Column:
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def hash32_sql(expr: str) -> str:
+    return f"(('0x' || substring(md5({expr}), 1, 8))::UBIGINT::BIGINT)"
+
+
+# ---------------------------------------------------------------- token counts
+
+def token_counts(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    t = F.col(text_col)
+    low = F.lower(t)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(t).cast("long").alias("n_chars"),
+        F.size(F.regexp_extract_all(t, F.lit(WS_RE), 0)).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(low, F.lit(WORD_RE), 0)).cast("long").alias("word_tokens"),
+        F.size(F.regexp_extract_all(low, F.lit(BPE_RE), 0)).cast("long").alias("bpe_tokens"),
+    )
+
+
+def token_counts_oracle_sql(table: str = "documents", text_col: str = "text",
+                            id_col: str = "doc_id") -> str:
+    return f"""
+SELECT {id_col} AS doc_id,
+       length({text_col}) AS n_chars,
+       len(regexp_extract_all({text_col}, '{WS_RE}')) AS ws_tokens,
+       len(regexp_extract_all(lower({text_col}), '{WORD_RE}')) AS word_tokens,
+       len(regexp_extract_all(lower({text_col}), '{BPE_RE}')) AS bpe_tokens
+FROM {table}
+"""
+
+
+# --------------------------------------------------------------- quality score
+
+#: markers kept small & pinned so the oracle SQL stays readable
+_STOPWORDS = sorted(ENGLISH_STOPWORDS)
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document-quality scoring (length / punctuation / stopword
+    ratios), the standard pre-training corpus filter shape (C4/Gopher-style
+    rules, computed fully JVM-side)."""
+    t = F.col(text_col)
+    low = F.lower(t)
+    words = F.regexp_extract_all(low, F.lit(WORD_RE), 0)
+    sw = F.array([F.lit(w) for w in _STOPWORDS])
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+    n_chars = F.length(t)
+    n_punct = F.size(F.regexp_extract_all(low, F.lit("[^a-z0-9_ \\t\\n\\r]"), 0))
+    # ratios and the composite score are integer basis points (bp, /10000)
+    # via integer division: bit-identical across engines, no float-rounding
+    # boundary cases (compounded float weights round differently between
+    # Spark's BigDecimal HALF_UP and DuckDB's multiply-then-round).
+    L = lambda c: c.cast("long")
+    div = lambda num, den: F.floor(num / den).cast("long")
+    word_bp = div(L(n_words) * 10000, F.greatest(L(n_chars), F.lit(1)))
+    stop_bp = div(L(n_stop) * 10000, F.greatest(L(n_words), F.lit(1)))
+    punct_bp = div(L(n_punct) * 10000, F.greatest(L(n_chars), F.lit(1)))
+    quality = (
+        F.least(L(n_words) * 8, F.lit(400))                       # 0..400
+        + (F.lit(300) - F.least(div(punct_bp * 300, F.lit(2000)), F.lit(300)))
+        + F.least(div(stop_bp * 300, F.lit(2500)), F.lit(300))
+    ).cast("long")                                                # 0..1000
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        n_stop.cast("long").alias("n_stopwords"),
+        n_punct.cast("long").alias("n_punct"),
+        word_bp.alias("word_ratio_bp"),
+        stop_bp.alias("stop_ratio_bp"),
+        quality.alias("quality"),
+    )
+
+
+def quality_scores_oracle_sql(table: str = "documents", text_col: str = "text",
+                              id_col: str = "doc_id") -> str:
+    sw = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id,
+         length({text_col}) AS n_chars,
+         regexp_extract_all(lower({text_col}), '{WORD_RE}') AS words,
+         len(regexp_extract_all(lower({text_col}), '[^a-z0-9_ \\t\\n\\r]')) AS n_punct
+  FROM {table}
+),
+m AS (
+  SELECT doc_id, n_chars, len(words) AS n_words,
+         len(list_filter(words, w -> list_contains([{sw}], w))) AS n_stopwords,
+         n_punct
+  FROM base
+)
+SELECT doc_id, n_chars, n_words, n_stopwords, n_punct,
+       (n_words * 10000 // GREATEST(n_chars, 1))::BIGINT AS word_ratio_bp,
+       (n_stopwords * 10000 // GREATEST(n_words, 1))::BIGINT AS stop_ratio_bp,
+       (LEAST(n_words * 8, 400)
+        + (300 - LEAST((n_punct * 10000 // GREATEST(n_chars, 1)) * 300 // 2000, 300))
+        + LEAST((n_stopwords * 10000 // GREATEST(n_words, 1)) * 300 // 2500, 300)
+       )::BIGINT AS quality
+FROM m
+"""
+
+
+# -------------------------------------------------------------------- lang id
+
+#: (lang, marker words) — high-frequency function words per language.
+LANG_MARKERS: list[tuple[str, list[str]]] = [
+    ("en", ["the", "a", "and", "of", "to", "is", "in", "that", "it", "for"]),
+    ("fr", ["le", "la", "les", "et", "de", "des", "un", "une", "est", "que"]),
+    ("es", ["el", "los", "las", "y", "en", "que", "un", "una", "es", "por"]),
+    ("de", ["der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "zu"]),
+]
+
+
+def lang_id(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language heuristic: score = count of per-language marker
+    words among the doc's tokens; Han-script char count triggers 'zh';
+    argmax with ties broken by marker-list order; no signal -> 'und'.
+
+    (On the synthetic test corpus every doc shares one English-like
+    vocabulary, so the heuristic mostly answers 'en' — the operator contract
+    is the deterministic computation, not corpus ground truth.)
+    """
+    t = F.col(text_col)
+    words = F.regexp_extract_all(F.lower(t), F.lit(WORD_RE), 0)
+    scores = []
+    for lang, markers in LANG_MARKERS:
+        arr = F.array([F.lit(m) for m in markers])
+        scores.append(
+            F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+            .cast("long").alias(f"score_{lang}"))
+    han = F.size(F.regexp_extract_all(t, F.lit("[\\x{4e00}-\\x{9fff}]"), 0))
+
+    base = docs.select(F.col(id_col).alias("doc_id"), han.cast("long").alias("han_chars"), *scores)
+    best = F.greatest(*[F.col(f"score_{l}") for l, _ in LANG_MARKERS])
+    pred = F.when(F.col("han_chars") > 0, F.lit("zh"))
+    for lang, _ in LANG_MARKERS:
+        pred = pred.when((best > 0) & (F.col(f"score_{lang}") == best), F.lit(lang))
+    pred = pred.otherwise(F.lit("und"))
+    return base.select("doc_id", "han_chars",
+                       *[f"score_{l}" for l, _ in LANG_MARKERS],
+                       pred.alias("lang_pred"))
+
+
+def lang_id_oracle_sql(table: str = "documents", text_col: str = "text",
+                       id_col: str = "doc_id") -> str:
+    score_cols = []
+    for lang, markers in LANG_MARKERS:
+        lst = ", ".join(f"'{m}'" for m in markers)
+        score_cols.append(
+            f"len(list_filter(words, w -> list_contains([{lst}], w))) AS score_{lang}")
+    best = "GREATEST(" + ", ".join(f"score_{l}" for l, _ in LANG_MARKERS) + ")"
+    cases = "\n         ".join(
+        f"WHEN {best} > 0 AND score_{l} = {best} THEN '{l}'"
+        for l, _ in LANG_MARKERS)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id,
+         regexp_extract_all(lower({text_col}), '{WORD_RE}') AS words,
+         len(regexp_extract_all({text_col}, '[\\x{{4e00}}-\\x{{9fff}}]')) AS han_chars
+  FROM {table}
+),
+scored AS (
+  SELECT doc_id, han_chars, {", ".join(score_cols)}
+  FROM base
+)
+SELECT doc_id, han_chars, {", ".join(f"score_{l}" for l, _ in LANG_MARKERS)},
+       CASE WHEN han_chars > 0 THEN 'zh'
+         {cases}
+         ELSE 'und' END AS lang_pred
+FROM scored
+"""
+
+
+# ------------------------------------------------------------- fingerprinting
+
+FP_K = 3   # k-gram size (words)
+FP_W = 4   # winnowing window (hashes)
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Winnowing fingerprints: hash every k-word shingle, keep the minimum
+    hash of each sliding window of FP_W consecutive shingles (ties -> the
+    rightmost, i.e. the window min computed over a ROWS BETWEEN frame),
+    output per-doc distinct-fingerprint count and an order-independent
+    checksum. Shuffle-free until the final per-doc aggregate."""
+    from pyspark.sql import Window
+    words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
+    base = docs.select(F.col(id_col).alias("doc_id"), words.alias("words"))
+    sh = base.select(
+        "doc_id",
+        F.posexplode(
+            F.when(F.size("words") >= FP_K,
+                   F.transform(
+                       F.sequence(F.lit(0), F.size("words") - FP_K),
+                       lambda i: F.concat_ws(
+                           " ", *[F.element_at(F.col("words"), (i + j + 1).cast("int"))
+                                  for j in range(FP_K)])))
+            .otherwise(F.array())).alias("pos", "shingle"))
+    hashed = sh.select("doc_id", "pos", hash32_col(F.col("shingle")).alias("h"))
+    w = (Window.partitionBy("doc_id").orderBy("pos")
+         .rowsBetween(-(FP_W - 1), 0))
+    fps = (hashed
+           .withColumn("win_min", F.min("h").over(w))
+           .withColumn("full", F.col("pos") >= FP_W - 1)
+           .filter("full")
+           .select("doc_id", F.col("win_min").alias("fp"))
+           .distinct())
+    return (fps.groupBy("doc_id")
+            .agg(F.count("*").alias("n_fingerprints"),
+                 F.sum("fp").alias("fp_checksum"),
+                 F.min("fp").alias("fp_min"))
+            .orderBy("doc_id"))
+
+
+def fingerprints_oracle_sql(table: str = "documents", text_col: str = "text",
+                            id_col: str = "doc_id") -> str:
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id,
+         regexp_extract_all(lower({text_col}), '{WORD_RE}') AS words
+  FROM {table}
+),
+sh AS (
+  SELECT doc_id,
+         unnest(range(0, GREATEST(len(words) - {FP_K - 1}, 0))) AS pos,
+         unnest(list_transform(range(1, GREATEST(len(words) - {FP_K - 1}, 0) + 1),
+                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+  FROM base
+  WHERE len(words) >= {FP_K}
+),
+hashed AS (
+  SELECT doc_id, pos, {hash32_sql('shingle')} AS h FROM sh
+),
+winmin AS (
+  SELECT doc_id, pos,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN {FP_W - 1} PRECEDING AND CURRENT ROW) AS fp
+  FROM hashed
+),
+fps AS (
+  SELECT DISTINCT doc_id, fp FROM winmin WHERE pos >= {FP_W - 1}
+)
+SELECT doc_id, count(*)::BIGINT AS n_fingerprints, SUM(fp)::BIGINT AS fp_checksum,
+       MIN(fp) AS fp_min
+FROM fps GROUP BY doc_id ORDER BY doc_id
+"""

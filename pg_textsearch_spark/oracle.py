@@ -1,0 +1,174 @@
+"""ANSI-SQL (DuckDB-runnable) oracle generators for the BM25 engine.
+
+The reference validates its engine against an executable SQL oracle that
+shares the tokenizer with the engine (reference: test/sql/validation.sql:1-212
+tokenizes with the same ``to_tsvector`` the index uses). We do the same: the
+engine's ``simple`` text config is deliberately SQL-expressible
+(``regexp_extract_all(lower(text), '[a-z0-9_]+')``), so these generators emit
+a self-contained SQL statement computing the exact BM25 contract of
+SURVEY.md §1.4 — per-chunk tf cap, fieldnorm-quantized dl, raw-avgdl, the
+idf/tf formula, (score DESC, doc_id ASC) ordering — for OR / AND / phrase
+modes. The driver runs them in DuckDB against the same parquet and compares
+row counts, schemas and value hashes with the Spark engine's output.
+
+The ``english`` config needs a Snowball stemmer, which plain SQL lacks; those
+paths are validated by the in-repo pytest oracles instead (tests/).
+"""
+
+from __future__ import annotations
+
+from .config import Bm25Options
+from .functions.fieldnorm import DECODE_TABLE
+from .functions.tokenizer import tokenize_query
+
+TOKEN_SQL_PATTERN = "[a-z0-9_]+"
+
+
+def _fieldnorm_values(max_len: int = 100_000) -> str:
+    vals = [int(v) for v in DECODE_TABLE if v <= max_len]
+    return ", ".join(f"({v})" for v in vals)
+
+
+def _qterm_values(qterms: list[tuple[str, int]]) -> str:
+    return ", ".join(f"('{t}', {float(qf)})" for t, qf in qterms)
+
+
+def bm25_oracle_sql(
+    query: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int | None = 10,
+    mode: str = "or",
+    opts: Bm25Options | None = None,
+    round_to: int = 4,
+) -> str:
+    """SQL computing BM25 top-k for ``query`` under the ``simple`` config.
+
+    Output columns: (doc_id BIGINT, score DOUBLE) ordered by
+    (score DESC, doc_id ASC) — identical names/semantics to the engine's
+    ``search``/``score_exhaustive`` output.
+    """
+    opts = opts or Bm25Options(text_config="simple")
+    if opts.text_config != "simple":
+        raise ValueError("SQL oracle only supports the 'simple' text config")
+    qterms = tokenize_query(query, "simple")
+    if not qterms:
+        return f"SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score WHERE FALSE"
+    k1, b = float(opts.k1), float(opts.b)
+
+    phrase_cte, phrase_join = "", ""
+    if mode == "phrase":
+        phrase_cte, phrase_join = _phrase_clauses(query, table, id_col, text_col)
+
+    and_having = ""
+    if mode == "and":
+        n_distinct = len({t for t, _ in qterms})
+        and_having = f"HAVING count(DISTINCT c.term) = {n_distinct}"
+
+    sql = f"""
+WITH tok AS (
+  SELECT {id_col} AS doc_id,
+         unnest(regexp_extract_all(lower({text_col}), '{TOKEN_SQL_PATTERN}')) AS term
+  FROM {table}
+),
+tf AS (
+  SELECT doc_id, term, LEAST(count(*), 256) AS tf
+  FROM tok GROUP BY doc_id, term
+),
+dl AS (
+  SELECT doc_id, SUM(tf) AS dl,
+         (SELECT MAX(v) FROM (VALUES {_fieldnorm_values()}) AS fnorm(v)
+          WHERE v <= SUM(tf)) AS qdl
+  FROM tf GROUP BY doc_id
+),
+stats AS (
+  SELECT (SELECT count(*) FROM {table}) AS n_docs,
+         (SELECT COALESCE(SUM(tf), 0) FROM tf) AS total_len
+),
+qterms(term, qfreq) AS (VALUES {_qterm_values(qterms)}),
+dfreq AS (
+  SELECT q.term, (SELECT count(DISTINCT tf.doc_id) FROM tf WHERE tf.term = q.term) AS df
+  FROM qterms q
+),{phrase_cte}
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         q.qfreq
+         * ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+         * (tf.tf * {k1 + 1.0})
+         / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.qdl
+              / (s.total_len * 1.0 / s.n_docs))) AS c
+  FROM tf
+  JOIN qterms q ON tf.term = q.term
+  JOIN dfreq d ON d.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+)
+SELECT c.doc_id, ROUND(SUM(c.c), {round_to}) AS score
+FROM contrib c{phrase_join}
+GROUP BY c.doc_id
+{and_having}
+ORDER BY score DESC, c.doc_id ASC
+"""
+    if k is not None:
+        sql += f"LIMIT {k}\n"
+    return sql
+
+
+def _phrase_clauses(query: str, table: str, id_col: str,
+                    text_col: str) -> tuple[str, str]:
+    """CTE + semi-join restricting scoring to docs containing the query's
+    token sequence at consecutive positions (engine ``mode='phrase'``;
+    simple config keeps every token, so positions enumerate all tokens)."""
+    import re
+    from .functions.tokenizer import TOKEN_PATTERN
+    words = TOKEN_PATTERN.findall(query.lower())
+    if not words:
+        raise ValueError("empty phrase")
+    joins, conds = [], [f"p0.term = '{words[0]}'"]
+    for i, w in enumerate(words[1:], start=1):
+        joins.append(
+            f"JOIN tokpos p{i} ON p{i}.doc_id = p0.doc_id "
+            f"AND p{i}.pos = p0.pos + {i} AND p{i}.term = '{w}'")
+    cte = f"""
+tokpos AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(range(1, len(toks) + 1)) AS pos
+  FROM (SELECT {id_col} AS doc_id,
+               regexp_extract_all(lower({text_col}), '{TOKEN_SQL_PATTERN}') AS toks
+        FROM {table})
+),
+phrase_docs AS (
+  SELECT DISTINCT p0.doc_id
+  FROM tokpos p0
+  {' '.join(joins)}
+  WHERE {conds[0]}
+),"""
+    join = "\nJOIN phrase_docs pd ON pd.doc_id = c.doc_id"
+    return cte, join
+
+
+def term_stats_oracle_sql(
+    terms: list[str],
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for ``Bm25Index.term_stats``: (term, doc_freq, idf)."""
+    values = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH tok AS (
+  SELECT {id_col} AS doc_id,
+         unnest(regexp_extract_all(lower({text_col}), '{TOKEN_SQL_PATTERN}')) AS term
+  FROM {table}
+),
+n AS (SELECT count(*) AS n_docs FROM {table}),
+qt(term) AS (VALUES {values})
+SELECT qt.term,
+       count(DISTINCT tok.doc_id) AS doc_freq,
+       ROUND(ln(1.0 + ((SELECT n_docs FROM n) - count(DISTINCT tok.doc_id) + 0.5)
+                / (count(DISTINCT tok.doc_id) + 0.5)), 6) AS idf
+FROM qt JOIN tok ON tok.term = qt.term
+GROUP BY qt.term
+ORDER BY qt.term
+"""
