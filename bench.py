@@ -1,0 +1,121 @@
+"""Benchmark harness: index build + headline BM25 queries + pipeline ops.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": <total headline seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "build": {...}}
+
+Latency method: one untimed warm-up query (JIT + Arrow worker spin-up),
+then min of 3 timed runs per query (2 for batch ops). Build time is a single cold run;
+docs_per_sec is derived from it (baseline comparison: BASELINE.md —
+reference builds 138 M docs at ~131 k docs/s on 16 threads; top-10 query
+p50 5-178 ms depending on term count).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pg_textsearch_spark.config import Bm25Options
+from pg_textsearch_spark.index.build import Bm25Index
+from pg_textsearch_spark.operators import dedup, similarity, textstats
+from pg_textsearch_spark.operators.exhaustive import score_exhaustive
+from pg_textsearch_spark.spark_utils import get_spark
+
+
+def timed(fn, n=3):
+    """min over n runs — best-case steady-state latency (first runs pay
+    codegen compile + cache warm; the driver compares steady state)."""
+    runs = []
+    for _ in range(n):
+        t0 = time.time()
+        fn()
+        runs.append(time.time() - t0)
+    return round(min(runs), 4)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n_docs = docs.count()
+
+    opts = Bm25Options(text_config="simple", store_positions=True,
+                       docs_per_segment=max(256, n_docs // max(cpus, 1)))
+    idx_path = os.path.join(tempfile.gettempdir(), "pgts_bench_idx")
+    if os.path.exists(idx_path):
+        shutil.rmtree(idx_path)
+
+    t0 = time.time()
+    idx = Bm25Index.build(spark, docs, "text", idx_path, id_col="doc_id",
+                          opts=opts)
+    build_sec = time.time() - t0
+
+    queries = {}
+    # warm-up (untimed): spins up Arrow python workers + parquet footer cache
+    idx.search("merge", k=10).collect()
+
+    queries["q1_single_term"] = timed(lambda: idx.search("merge", k=10).collect())
+    queries["q2_two_term"] = timed(lambda: idx.search("hash join", k=10).collect())
+    queries["q3_multi_term"] = timed(
+        lambda: idx.search("hash join merge window", k=10).collect())
+    queries["q4_and"] = timed(
+        lambda: idx.search("window customer", k=10, mode="and").collect())
+    queries["q5_phrase"] = timed(
+        lambda: idx.search("hash value", k=10, mode="phrase").collect())
+    queries["q6_weighted"] = timed(
+        lambda: idx.search("merge merge batch", k=10).collect())
+    queries["q7_exhaustive_all"] = timed(
+        lambda: score_exhaustive(spark, docs, "text", "doc_id",
+                                 "window customer",
+                                 Bm25Options(text_config="simple"),
+                                 k=None).collect(), n=2)
+    queries["q8_term_stats"] = timed(
+        lambda: idx.term_stats(["hash", "join", "merge"]).collect())
+
+    # pipeline operators (single run each — these are batch jobs)
+    queries["p1_minhash_pairs"] = timed(
+        lambda: dedup.minhash_candidate_pairs(docs).collect(), n=2)
+    queries["p2_fingerprints"] = timed(
+        lambda: textstats.fingerprints(docs).collect(), n=2)
+    queries["p3_ann_cosine"] = timed(
+        lambda: similarity.cosine_topk(embs, [0, 1, 2, 3, 4], k=5).collect(),
+        n=2)
+    queries["p4_quality"] = timed(
+        lambda: textstats.quality_scores(docs).collect(), n=2)
+
+    queries["build"] = round(build_sec, 4)
+    total = round(sum(queries.values()), 4)
+    stats = idx.stats()
+    out = {
+        "metric": "bm25_build_plus_headline_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "build": {
+            "docs": n_docs,
+            "docs_per_sec": round(n_docs / build_sec, 1),
+            "segments": stats["num_segments"],
+            "terms_per_segment": sum(stats["num_terms_per_segment"].values()),
+            "index_bytes": stats["bytes"],
+            "cpus": cpus,
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -57,17 +57,31 @@ GROUP BY 1 ORDER BY keeper_doc_id
 NGRAM_N = 3
 
 
-def _shingles_col(text_col: str):
-    """Distinct word-3-gram shingles as an array column (JVM-side)."""
+def _shingle_frame(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, shingles ARRAY<STRING>) with distinct word-3-gram shingles.
+
+    The word array is materialized in its own projection BEFORE the shingle
+    transform: referencing the regexp_extract_all expression inside the
+    lambda would re-evaluate the regex per element_at (3 x n_words regex
+    scans per doc)."""
     words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
-    return F.when(
-        F.size(words) >= NGRAM_N,
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(0), F.size(words) - NGRAM_N),
-            lambda i: F.concat_ws(" ", *[
-                F.element_at(words, (i + j + 1).cast("int"))
-                for j in range(NGRAM_N)])))
-    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select(F.col(id_col).alias("doc_id"), words.alias("words"))
+    w = F.col("words")
+    # zip_with over shifted slices: each input array is evaluated once per
+    # row. (A transform(sequence, i -> element_at(words, i+j)) formulation
+    # re-evaluates the words expression per element once array_distinct
+    # wraps it — ~20x slower at 5k docs.)
+    w2 = F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0)))
+    w3 = F.slice(w, 3, F.greatest(F.size(w) - 2, F.lit(0)))
+    z12 = F.zip_with(w, w2, lambda x, y: F.concat(x, F.lit(" "), y))
+    z123 = F.zip_with(z12, w3, lambda x, y: F.concat(x, F.lit(" "), y))
+    shingles = F.array_distinct(
+        F.slice(z123, 1, F.greatest(F.size(w) - (NGRAM_N - 1), F.lit(0))))
+    # filter on the cheap words-size predicate, not on size(shingles): a
+    # filter over the shingle column would inline (and so re-evaluate) the
+    # whole shingle expression in the Filter node
+    return (base.filter(F.size(w) >= NGRAM_N)
+            .select("doc_id", shingles.alias("shingles")))
 
 
 _SHINGLES_SQL = (
@@ -100,9 +114,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2,
     (the only shuffle is keyed by shingle — at scale, cap hot shingles by
     df like the BM25 index salts hot terms), count shared, Jaccard from the
     per-doc distinct counts."""
-    sh = (docs.select(F.col(id_col).alias("doc_id"),
-                      _shingles_col(text_col).alias("shingles"))
-          .filter(F.size("shingles") > 0))
+    sh = _shingle_frame(docs, text_col, id_col)
     sizes = sh.select("doc_id", F.size("shingles").cast("long").alias("n_sh"))
     ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     pairs = (ex.alias("a").join(ex.alias("b"), "shingle")
@@ -159,9 +171,7 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     hash32(i || ':' || shingle). One explode + one groupBy — the signature
     computation is a map-side-combinable aggregation (shuffle carries 8
     ints per doc, not the shingles)."""
-    sh = (docs.select(F.col(id_col).alias("doc_id"),
-                      _shingles_col(text_col).alias("shingles"))
-          .filter(F.size("shingles") > 0))
+    sh = _shingle_frame(docs, text_col, id_col)
     ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     aggs = [
         F.min(hash32_col(F.concat(F.lit(f"{i}:"), F.col("shingle"))))
@@ -232,17 +242,21 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
     entries; candidate pair = docs sharing any band bucket; est_jaccard =
     fraction of equal signature entries. The join is keyed by (band, key) —
     bucket sizes bound the fanout, the classic LSH scale shape."""
-    sig = minhash_signatures(docs, text_col, id_col)
-    bands = []
-    for bnd in range(NUM_HASHES // BAND_SIZE):
-        cols = [F.col(f"mh_{bnd * BAND_SIZE + j}") for j in range(BAND_SIZE)]
-        key = F.md5(F.concat_ws("_", *[c.cast("string") for c in cols]))
-        bands.append(sig.select("doc_id", F.lit(bnd).alias("band"),
-                                key.alias("bkey"),
-                                *[F.col(f"mh_{i}") for i in range(NUM_HASHES)]))
-    allb = bands[0]
-    for b in bands[1:]:
-        allb = allb.unionByName(b)
+    # persist the signatures: they feed 2 join sides x n_bands band rows,
+    # and recomputing them re-runs the shingle explode + 8 md5 aggregations
+    sig = minhash_signatures(docs, text_col, id_col).persist()
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(bnd).alias("band"),
+            F.md5(F.concat_ws("_", *[
+                F.col(f"mh_{bnd * BAND_SIZE + j}").cast("string")
+                for j in range(BAND_SIZE)])).alias("bkey"))
+        for bnd in range(NUM_HASHES // BAND_SIZE)])
+    allb = (sig.select("doc_id",
+                       *[F.col(f"mh_{i}") for i in range(NUM_HASHES)],
+                       F.explode(band_structs).alias("bb"))
+            .select("doc_id", *[F.col(f"mh_{i}") for i in range(NUM_HASHES)],
+                    F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")))
     a, b = allb.alias("a"), allb.alias("b")
     eq = sum(
         F.when(F.col(f"a.mh_{i}") == F.col(f"b.mh_{i}"), 1).otherwise(0)
