@@ -294,3 +294,12 @@ class Bm25Index:
     def append(self, docs: DataFrame, text_col: str, id_col: str) -> None:
         from ..streaming.append import append_batch
         append_batch(self, docs, text_col, id_col)
+
+    # -- deletions (reference VACUUM bulkdelete, M4-M6) ---------------------
+    def delete(self, doc_ids) -> int:
+        from .delete import delete_docs
+        return delete_docs(self, doc_ids)
+
+    def vacuum(self) -> dict:
+        from .delete import vacuum
+        return vacuum(self)

@@ -87,6 +87,15 @@ def merge_segments(index, seg_records: list[SegmentRecord], out_level: int,
 
     rows = spark.read.parquet(*in_postings)
     decoded = rows.mapInPandas(_decode_rows(opts), DECODE_SCHEMA)
+
+    # drop tombstoned docs (M4: the reference's dead-doc elimination at
+    # merge, src/segment/merge.c:839-866) — a distributed anti-join, never
+    # a driver-side collect
+    from .delete import deletes_df
+    dels = deletes_df(index)
+    if dels is not None:
+        decoded = decoded.join(dels, "doc_id", "left_anti")
+
     salted = decoded.withColumn(
         "salt", F.expr(f"CAST((doc_id - {lo}) DIV {salt_span} AS INT)"))
 
@@ -117,6 +126,8 @@ def merge_segments(index, seg_records: list[SegmentRecord], out_level: int,
     packed.write.mode("overwrite").parquet(os.path.join(seg_dir, "postings"))
 
     docs = spark.read.parquet(*in_docs)
+    if dels is not None:
+        docs = docs.join(dels, "doc_id", "left_anti")
     docs.write.mode("overwrite").parquet(os.path.join(seg_dir, "docs"))
 
     # stats for the manifest record

@@ -70,8 +70,15 @@ def term_stats(index: "Bm25Index", terms: list[str]) -> DataFrame:
 
 def make_segment_kernel(qinfo: list[tuple[str, float, float]],
                         k: int | None, opts: Bm25Options, avgdl: float,
-                        mode: str, phrase_occs: list[tuple[str, int]] | None):
-    """Build the applyInPandas kernel. qinfo: [(term, qfreq, idf)]."""
+                        mode: str, phrase_occs: list[tuple[str, int]] | None,
+                        deleted: np.ndarray | None = None):
+    """Build the applyInPandas kernel. qinfo: [(term, qfreq, idf)].
+
+    ``deleted``: sorted tombstoned doc ids (delete.py). Dead postings are
+    masked right after block decode — before any accumulation or pruning —
+    so MaxScore thresholds only ever see alive docs (the reference checks
+    its alive bitset per hit the same way). Stats stay dead-inclusive until
+    a merge, matching reference VACUUM semantics (SURVEY.md §2.2 M4)."""
     k1, b = float(opts.k1), float(opts.b)
     block_size = opts.block_size
     # norm code -> BM25 tf-denominator length component, precomputed once
@@ -149,6 +156,15 @@ def make_segment_kernel(qinfo: list[tuple[str, float, float]],
             ids = np.concatenate(ids_l)
             tfs = np.concatenate(tfs_l).astype(np.float64)
             norms = np.concatenate(norms_l)
+            if deleted is not None and deleted.size:
+                pos = np.searchsorted(deleted, ids)
+                pos[pos >= deleted.size] = deleted.size - 1
+                dead = deleted[pos] == ids
+                if dead.any():
+                    alive = ~dead
+                    ids, tfs, norms = ids[alive], tfs[alive], norms[alive]
+                    if poss_l:
+                        poss_l = [p for p, a in zip(poss_l, alive) if a]
             return ids, tfs, norms, poss_l
 
         uniq = scores = counts = None
@@ -314,7 +330,11 @@ def search_index(index: "Bm25Index", query: str, k: int | None = 10,
         base = min(p for _, p in occ)
         phrase_occs = [(t, p - base) for t, p in occ]
 
-    kernel = make_segment_kernel(qinfo, k, opts, avgdl, mode, phrase_occs)
+    from .delete import load_deletes
+    deleted = load_deletes(index)
+    # slice once to the index's live doc range; kernels see a sorted array
+    kernel = make_segment_kernel(qinfo, k, opts, avgdl, mode, phrase_occs,
+                                 deleted=deleted if deleted.size else None)
     postings = _read_postings(index, terms)
     out_schema = "doc_id long, raw_score double, n_terms int"
     local = postings.groupBy("segment_id").applyInPandas(kernel, out_schema)

@@ -338,7 +338,12 @@ def embedding_dup_pairs(embs: DataFrame, threshold: float = 0.9,
     v = F.col(vec_col).cast("array<double>")
     base = embs.select(F.col(id_col).alias("vec_id"), v.alias("v"),
                        _norm_col(v).alias("nrm"))
-    a, b = base.alias("a"), base.alias("b")
+    # the `<` theta-join is a nested-loop join: broadcast one side, spread
+    # the stream side across tasks (a single parquet file would otherwise
+    # serialize the whole O(n^2) pass into one partition)
+    par = max(embs.sparkSession.sparkContext.defaultParallelism, 8)
+    a = base.repartition(par, "vec_id").alias("a")
+    b = F.broadcast(base).alias("b")
     cos = _dot_col(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
             .select(F.col("a.vec_id").alias("vec_a"),

@@ -1,0 +1,112 @@
+"""Two-cluster-size scaling evidence (north rule: efficiency >= 0.8).
+
+No real cluster exists in this sandbox, so per the task contract we run the
+IDENTICAL job at two parallelism levels — ``local[N]`` and ``local[4N]``
+(default N=8) — on the SAME materialized input, via the production launch
+path ``spark-submit --py-files pgts.zip tools/scaling_job.py``.
+
+Writes BENCH_SCALING.json at the repo root:
+  {"n": {...}, "4n": {...}, "build_scaling_efficiency": e, ...}
+
+efficiency = (files/sec at 4N) / (files/sec at N) / 4.
+
+Usage: python tools/bench_scaling.py [--rows 100000] [--n 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_pyfiles_zip(dest: str) -> str:
+    """Package pg_textsearch_spark for --py-files (production ship unit)."""
+    with zipfile.ZipFile(dest, "w", zipfile.ZIP_DEFLATED) as z:
+        pkg = os.path.join(REPO, "pg_textsearch_spark")
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    z.write(p, os.path.relpath(p, REPO))
+    return dest
+
+
+def materialize_corpus(rows: int, path: str) -> None:
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    sys.path.insert(0, REPO)
+    from pg_textsearch_spark.sources.corpus import synth_source_corpus
+    from pg_textsearch_spark.spark_utils import get_spark
+    spark = get_spark("corpus-gen", cpus=os.cpu_count() or 8)
+    spark.sparkContext.setLogLevel("ERROR")
+    synth_source_corpus(spark, rows, num_partitions=128) \
+        .write.mode("overwrite").parquet(path)
+    spark.stop()
+
+
+def run_level(cpus: int, corpus: str, zip_path: str, tag: str) -> dict:
+    idx_path = f"/tmp/pgts_scaling_idx_{tag}"
+    cmd = [
+        "spark-submit",
+        "--master", f"local[{cpus}]",
+        "--py-files", zip_path,
+        "--conf", "spark.sql.shuffle.partitions=%d" % max(cpus * 2, 16),
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
+        "--conf", "spark.driver.memory=8g",
+        "--conf", "spark.ui.enabled=false",
+        os.path.join(REPO, "tools", "scaling_job.py"),
+        "--corpus", corpus, "--index-path", idx_path, "--cpus", str(cpus),
+    ]
+    print(f"[scaling] running local[{cpus}] ...", file=sys.stderr)
+    out = subprocess.run(cmd, capture_output=True, text=True, check=False)
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{") and "build_files_per_sec" in line:
+            return json.loads(line)
+    sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:])
+    raise RuntimeError(f"scaling job at local[{cpus}] produced no result")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int,
+                    default=int(os.environ.get("PGTS_SCALING_ROWS", "100000")))
+    ap.add_argument("--n", type=int, default=8)
+    args = ap.parse_args()
+
+    corpus = f"/tmp/pgts_scaling_corpus_{args.rows}"
+    materialize_corpus(args.rows, corpus)
+    zip_path = make_pyfiles_zip("/tmp/pgts_pyfiles.zip")
+
+    lo = run_level(args.n, corpus, zip_path, "n")
+    hi = run_level(args.n * 4, corpus, zip_path, "4n")
+
+    ratio = hi["build_files_per_sec"] / lo["build_files_per_sec"]
+    eff = ratio / 4.0
+    out = {
+        "criterion": "index-build throughput scaling, local[N] vs local[4N], same input",
+        "rows": args.rows,
+        "n_cores": args.n,
+        "n": lo,
+        "4n": hi,
+        "build_throughput_ratio": round(ratio, 3),
+        "build_scaling_efficiency": round(eff, 3),
+        "query_qps_ratio": round(hi["qps"] / lo["qps"], 3),
+        "passes_0.8": eff >= 0.8,
+    }
+    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
