@@ -202,7 +202,15 @@ class Bm25Index:
         os.makedirs(os.path.join(path, "segments"), exist_ok=True)
 
         postings = doc_postings(src, text_col, "__id", opts)
-        seg_col = F.expr(f"CAST((doc_id - {lo}) DIV {span} AS INT)")
+        # overflow-safe range bucketing: hashed ids span the full int64
+        # range, so (doc_id - lo) can overflow long under ANSI mode —
+        # bucket in double space (deterministic, clamped), which keeps the
+        # disjoint sorted doc-id ranges per segment that min/max pruning
+        # and the merge fast path rely on
+        seg_col = F.least(
+            F.lit(int(num_segments - 1)),
+            F.floor((F.col("doc_id").cast("double") - float(lo)) / float(span))
+            .cast("int"))
         stats_df = (
             postings.withColumn("seg", seg_col)
             .groupBy("seg")

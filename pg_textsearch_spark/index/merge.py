@@ -97,7 +97,10 @@ def merge_segments(index, seg_records: list[SegmentRecord], out_level: int,
         decoded = decoded.join(dels, "doc_id", "left_anti")
 
     salted = decoded.withColumn(
-        "salt", F.expr(f"CAST((doc_id - {lo}) DIV {salt_span} AS INT)"))
+        "salt",
+        F.least(F.lit(int(n_salts - 1)),
+                F.floor((F.col("doc_id").cast("double") - float(lo))
+                        / float(salt_span)).cast("int")))
 
     block_size = opts.block_size
     with_pos = opts.store_positions

@@ -54,7 +54,16 @@ def _read_postings(index: "Bm25Index", terms: list[str]) -> DataFrame:
     paths = index.postings_paths()
     if not paths:
         raise ValueError("index has no segments")
-    df = index.spark.read.parquet(*paths)
+    # cache the DataFrame (and with it Spark's resolved FileIndex) across
+    # queries on the same segment set — re-listing N segment directories
+    # per query dominates small-query latency otherwise
+    key = tuple(sorted(paths))
+    cached = getattr(index, "_postings_df_cache", None)
+    if cached is None or cached[0] != key:
+        df = index.spark.read.parquet(*paths)
+        index._postings_df_cache = (key, df)
+    else:
+        df = cached[1]
     return df.filter(F.col("term").isin(terms))
 
 
@@ -68,11 +77,16 @@ def term_stats(index: "Bm25Index", terms: list[str]) -> DataFrame:
     return agg.select("term", "doc_freq", F.round(idf_col, 6).alias("idf"))
 
 
-def make_segment_kernel(qinfo: list[tuple[str, float, float]],
+def make_segment_kernel(qfreqs: dict[str, float], n_docs: int,
                         k: int | None, opts: Bm25Options, avgdl: float,
                         mode: str, phrase_occs: list[tuple[str, int]] | None,
                         deleted: np.ndarray | None = None):
-    """Build the applyInPandas kernel. qinfo: [(term, qfreq, idf)].
+    """Build the applyInPandas kernel. ``qfreqs``: term -> query frequency.
+
+    IDFs are computed inside the kernel from the ``gdf`` column (global
+    doc_freq attached by a window aggregate in the same job — Q2 without a
+    separate driver round-trip; every segment sees the same global value,
+    so scores are independent of segment layout, SURVEY.md §1.4).
 
     ``deleted``: sorted tombstoned doc ids (delete.py). Dead postings are
     masked right after block decode — before any accumulation or pruning —
@@ -84,12 +98,11 @@ def make_segment_kernel(qinfo: list[tuple[str, float, float]],
     # norm code -> BM25 tf-denominator length component, precomputed once
     norm_len = DECODE_TABLE.astype(np.float64)
     denom_norm = k1 * (1.0 - b + b * norm_len / avgdl)  # indexed by norm code
-    weights = {t: qf * i for t, qf, i in qinfo}
 
     def term_bound(w: float, best_norm_denom: float, max_tf: float) -> float:
         return w * (max_tf * (k1 + 1.0)) / (max_tf + best_norm_denom)
 
-    n_qterms = len(set(t for t, _, _ in qinfo))
+    n_qterms = len(qfreqs)
 
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         # Per term: concatenate shard rows in doc_id order, decode, score.
@@ -101,6 +114,11 @@ def make_segment_kernel(qinfo: list[tuple[str, float, float]],
         per_term: dict[str, list] = {}
         for _, row in pdf.sort_values(["term", "shard"]).iterrows():
             per_term.setdefault(row["term"], []).append(row)
+
+        # global IDF from the window-attached gdf column (identical on
+        # every shard row of a term, across all segments)
+        weights = {t: qfreqs[t] * idf(n_docs, int(rows_[0]["gdf"]))
+                   for t, rows_ in per_term.items()}
 
         # per-term upper bound from skip metadata (block_max_tf + min
         # fieldnorm — the reference's bound inputs, bmw.c:382-396 applied to
@@ -316,9 +334,7 @@ def search_index(index: "Bm25Index", query: str, k: int | None = 10,
     terms = [t for t, _ in qterms]
     n = index.manifest.total_docs
     avgdl = max(index.manifest.avgdl, 1e-9)
-    dfreq = {r["term"]: r["doc_freq"]
-             for r in term_stats(index, terms).collect()}
-    qinfo = [(t, float(qf), idf(n, dfreq.get(t, 0))) for t, qf in qterms]
+    qfreqs = {t: float(qf) for t, qf in qterms}
 
     phrase_occs = None
     if mode == "phrase":
@@ -332,15 +348,128 @@ def search_index(index: "Bm25Index", query: str, k: int | None = 10,
 
     from .delete import load_deletes
     deleted = load_deletes(index)
-    # slice once to the index's live doc range; kernels see a sorted array
-    kernel = make_segment_kernel(qinfo, k, opts, avgdl, mode, phrase_occs,
+    kernel = make_segment_kernel(qfreqs, n, k, opts, avgdl, mode, phrase_occs,
                                  deleted=deleted if deleted.size else None)
     postings = _read_postings(index, terms)
+    # ONE job: global per-term doc_freq via a window aggregate (tiny —
+    # only the query terms' dictionary rows flow through it), then the
+    # per-segment scoring kernel. No driver round-trip between Q2 and Q4/Q5.
+    from pyspark.sql import Window
+    rows = postings.withColumn(
+        "gdf", F.sum("doc_freq").over(Window.partitionBy("term")))
     out_schema = "doc_id long, raw_score double, n_terms int"
-    local = postings.groupBy("segment_id").applyInPandas(kernel, out_schema)
+    local = rows.groupBy("segment_id").applyInPandas(kernel, out_schema)
     result = local.select(
         "doc_id", F.round(F.col("raw_score"), round_to).alias("score"))
     result = result.orderBy(F.desc("score"), F.asc("doc_id"))
     if k is not None:
         result = result.limit(k)
     return result
+
+
+def search_batch(index: "Bm25Index", queries: list[str], k: int = 10,
+                 round_to: int = 4) -> DataFrame:
+    """Score MANY queries in ONE Spark job (disjunctive top-k each).
+
+    The reference's batch benchmark runs 691 queries back-to-back over one
+    connection (BASELINE.md single-client batch); per-query Spark jobs pay
+    ~0.5-1 s of scheduling each, so batched retrieval is the
+    throughput-correct shape on a cluster: union the query terms, scan the
+    index once, decode each term once per segment, accumulate per query,
+    and take all per-query global top-ks with a single window.
+
+    Returns (query_id, doc_id, score) with query_id = position in
+    ``queries``, ordered by (query_id, score DESC, doc_id ASC).
+    """
+    spark = index.spark
+    opts = index.manifest.opts
+    n = index.manifest.total_docs
+    avgdl = max(index.manifest.avgdl, 1e-9)
+    k1, b = float(opts.k1), float(opts.b)
+    block_size = opts.block_size
+
+    per_query: list[list[tuple[str, float]]] = []
+    all_terms: set[str] = set()
+    for q in queries:
+        qt = tokenize_query(q, opts.text_config)
+        per_query.append([(t, float(f)) for t, f in qt])
+        all_terms.update(t for t, _ in qt)
+    if not all_terms:
+        return spark.createDataFrame([], "query_id int, doc_id long, score double")
+
+    from .delete import load_deletes
+    deleted = load_deletes(index)
+    deleted = deleted if deleted.size else None
+
+    norm_len = DECODE_TABLE.astype(np.float64)
+    denom_norm = k1 * (1.0 - b + b * norm_len / avgdl)
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        out_q, out_id, out_sc = [], [], []
+        if len(pdf) == 0:
+            return pd.DataFrame({"query_id": np.empty(0, np.int32),
+                                 "doc_id": np.empty(0, np.int64),
+                                 "raw_score": np.empty(0, np.float64)})
+        # decode each term ONCE
+        gdf: dict[str, int] = {}
+        decoded: dict[str, tuple] = {}
+        for t, grp in pdf.sort_values(["term", "shard"]).groupby("term", sort=False):
+            ids_l, tfs_l, norms_l = [], [], []
+            for _, r in grp.iterrows():
+                ids, tfs, norms = decode_row(r, block_size)
+                ids_l.append(ids); tfs_l.append(tfs); norms_l.append(norms)
+            ids = np.concatenate(ids_l)
+            tfs = np.concatenate(tfs_l).astype(np.float64)
+            norms = np.concatenate(norms_l)
+            if deleted is not None:
+                pos = np.searchsorted(deleted, ids)
+                pos[pos >= deleted.size] = deleted.size - 1
+                alive = deleted[pos] != ids
+                ids, tfs, norms = ids[alive], tfs[alive], norms[alive]
+            contrib = (tfs * (k1 + 1.0)) / (tfs + denom_norm[norms])
+            decoded[t] = (ids, contrib)
+            gdf[t] = int(grp["gdf"].iloc[0])
+
+        for qi, qterms in enumerate(per_query):
+            parts_i, parts_c = [], []
+            for t, qf in qterms:
+                if t not in decoded:
+                    continue
+                ids, contrib = decoded[t]
+                w = qf * idf(n, gdf[t])
+                parts_i.append(ids)
+                parts_c.append(contrib * w)
+            if not parts_i:
+                continue
+            all_ids = np.concatenate(parts_i)
+            all_sc = np.concatenate(parts_c)
+            uniq, inv = np.unique(all_ids, return_inverse=True)
+            scores = np.zeros(uniq.size, dtype=np.float64)
+            np.add.at(scores, inv, all_sc)
+            if uniq.size > k:
+                sel = np.lexsort((uniq, -scores))[:k]
+                uniq, scores = uniq[sel], scores[sel]
+            out_q.append(np.full(uniq.size, qi, dtype=np.int32))
+            out_id.append(uniq)
+            out_sc.append(scores)
+        if not out_q:
+            return pd.DataFrame({"query_id": np.empty(0, np.int32),
+                                 "doc_id": np.empty(0, np.int64),
+                                 "raw_score": np.empty(0, np.float64)})
+        return pd.DataFrame({"query_id": np.concatenate(out_q),
+                             "doc_id": np.concatenate(out_id),
+                             "raw_score": np.concatenate(out_sc)})
+
+    postings = _read_postings(index, sorted(all_terms))
+    from pyspark.sql import Window
+    rows = postings.withColumn(
+        "gdf", F.sum("doc_freq").over(Window.partitionBy("term")))
+    local = rows.groupBy("segment_id").applyInPandas(
+        kernel, "query_id int, doc_id long, raw_score double")
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.desc("raw_score"), F.asc("doc_id")))
+    return (local.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "doc_id",
+                    F.round(F.col("raw_score"), round_to).alias("score"))
+            .orderBy("query_id", F.desc("score"), F.asc("doc_id")))

@@ -140,7 +140,14 @@ def pack_postings_frame(
     """Pack a (doc_id, term, tf, fieldnorm[, positions]) frame into shard rows.
 
     Input need not be sorted; NULL-term marker rows must already be removed.
-    """
+
+    Fully vectorized ACROSS terms: with a Zipf vocabulary most terms have
+    1-2 postings, so per-term numpy calls would pay fixed overhead millions
+    of times per segment. Instead every quantity — block boundaries, delta
+    gaps, varbyte streams, skip maxima — is computed once over the whole
+    sorted frame with reduceat/cumsum, and per-term rows are produced by
+    slicing the shared buffers. Terms longer than ``max_postings_per_row``
+    (rare mega-terms) fall back to the sharding path (pack_term)."""
     if len(pdf) == 0:
         return pd.DataFrame({c: [] for c in POSTINGS_COLUMNS})
     order = np.lexsort((pdf["doc_id"].to_numpy(), pdf["term"].to_numpy()))
@@ -151,14 +158,142 @@ def pack_postings_frame(
     pos = pdf["positions"].to_numpy()[order] if with_positions else None
 
     uniq, starts = np.unique(terms, return_index=True)
-    bounds = np.r_[starts, terms.size]
-    out: list[dict] = []
-    for i, term in enumerate(uniq):
-        s, e = bounds[i], bounds[i + 1]
-        plists = list(pos[s:e]) if pos is not None else None
-        out.extend(pack_term(str(term), ids[s:e], tfs[s:e], norms[s:e],
-                             plists, block_size, max_postings_per_row))
-    return pd.DataFrame(out, columns=POSTINGS_COLUMNS)
+    g_start = starts.astype(np.int64)
+    g_end = np.r_[g_start[1:], np.int64(terms.size)]
+    g_len = g_end - g_start
+
+    big = g_len > max_postings_per_row
+    out_extra: list[dict] = []
+    if big.any():
+        for i in np.flatnonzero(big):
+            s, e = g_start[i], g_end[i]
+            plists = list(pos[s:e]) if pos is not None else None
+            out_extra.extend(pack_term(str(uniq[i]), ids[s:e], tfs[s:e],
+                                       norms[s:e], plists, block_size,
+                                       max_postings_per_row))
+        keep = ~np.repeat(big, g_len)
+        terms, ids, tfs, norms = terms[keep], ids[keep], tfs[keep], norms[keep]
+        if pos is not None:
+            pos = pos[keep]
+        uniq = uniq[~big]
+        g_len = g_len[~big]
+        g_end = np.cumsum(g_len)
+        g_start = g_end - g_len
+        if uniq.size == 0:
+            return pd.DataFrame(out_extra, columns=POSTINGS_COLUMNS)
+
+    n = ids.size
+    # per-posting offset within its term group, block index, block starts
+    within = np.arange(n, dtype=np.int64) - np.repeat(g_start, g_len)
+    is_block_start = (within % block_size) == 0
+    b_start = np.flatnonzero(is_block_start)
+    b_end = np.r_[b_start[1:], np.int64(n)]
+    # a block never crosses a term boundary (groups start new blocks), but a
+    # group's last block may be cut short by the group end:
+    b_end = np.minimum(b_end, np.repeat(g_end, _blocks_per_group(g_len, block_size)))
+    b_last = b_end - 1
+
+    # delta-gap doc ids, absolute at block starts
+    deltas = np.empty(n, dtype=np.int64)
+    deltas[1:] = ids[1:] - ids[:-1]
+    deltas[b_start] = ids[b_start]
+
+    # varbyte streams for the whole segment, then per-term slices
+    doc_stream = varbyte_encode(deltas.astype(np.uint64))
+    tf_stream = varbyte_encode(tfs.astype(np.uint64))
+    norm_stream = norms.astype(np.uint8).tobytes()
+    d_nb = _varbyte_nbytes(deltas.astype(np.uint64))
+    t_nb = _varbyte_nbytes(tfs.astype(np.uint64))
+    d_off = np.r_[np.int64(0), np.cumsum(d_nb)]   # n+1 byte offsets
+    t_off = np.r_[np.int64(0), np.cumsum(t_nb)]
+
+    # per-block skip data (global, then split per term)
+    blk_last_id = ids[b_last]
+    blk_count = (b_end - b_start).astype(np.int32)
+    blk_max_tf = np.maximum.reduceat(tfs, b_start).astype(np.int32)
+    blk_min_norm = np.minimum.reduceat(norms, b_start).astype(np.int32)
+    # byte offsets of each block RELATIVE to its term's stream start
+    term_of_block = np.repeat(np.arange(uniq.size, dtype=np.int64),
+                              _blocks_per_group(g_len, block_size))
+    blk_doc_off = d_off[b_start] - d_off[g_start[term_of_block]]
+    blk_tf_off = t_off[b_start] - t_off[g_start[term_of_block]]
+
+    nb_per_term = _blocks_per_group(g_len, block_size)
+    blk_bounds = np.r_[np.int64(0), np.cumsum(nb_per_term)]
+
+    mv_doc = memoryview(doc_stream)
+    mv_tf = memoryview(tf_stream)
+    mv_norm = memoryview(norm_stream)
+
+    k = uniq.size
+    doc_bins = [bytes(mv_doc[d_off[g_start[i]]:d_off[g_end[i]]]) for i in range(k)]
+    tf_bins = [bytes(mv_tf[t_off[g_start[i]]:t_off[g_end[i]]]) for i in range(k)]
+    norm_bins = [bytes(mv_norm[g_start[i]:g_end[i]]) for i in range(k)]
+    sk_last = np.split(blk_last_id, blk_bounds[1:-1])
+    sk_cnt = np.split(blk_count, blk_bounds[1:-1])
+    sk_mtf = np.split(blk_max_tf, blk_bounds[1:-1])
+    sk_mnm = np.split(blk_min_norm, blk_bounds[1:-1])
+    sk_doff = np.split(blk_doc_off, blk_bounds[1:-1])
+    sk_toff = np.split(blk_tf_off, blk_bounds[1:-1])
+
+    data = {
+        "term": uniq.astype(object),
+        "shard": np.zeros(k, dtype=np.int64),
+        "min_doc_id": ids[g_start],
+        "last_doc_id": ids[g_end - 1],
+        "doc_freq": g_len.astype(np.int32),
+        "num_blocks": nb_per_term.astype(np.int32),
+        "doc_ids_bin": doc_bins,
+        "tfs_bin": tf_bins,
+        "norms_bin": norm_bins,
+        "skip_last_doc_id": sk_last,
+        "skip_doc_count": sk_cnt,
+        "skip_max_tf": sk_mtf,
+        "skip_min_norm": sk_mnm,
+        "skip_doc_off": sk_doff,
+        "skip_tf_off": sk_toff,
+        "pos_counts_bin": [None] * k,
+        "pos_deltas_bin": [None] * k,
+    }
+
+    if pos is not None:
+        pcounts = np.fromiter((len(p) for p in pos), dtype=np.int64, count=n)
+        p_end = np.cumsum(pcounts)
+        p_start = p_end - pcounts
+        flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in pos]) \
+            if n else np.empty(0, dtype=np.int64)
+        pdelta = np.empty(flat.size, dtype=np.int64)
+        if flat.size:
+            pdelta[1:] = flat[1:] - flat[:-1]
+            pdelta[p_start[pcounts > 0]] = flat[p_start[pcounts > 0]]
+        pc_stream = varbyte_encode(pcounts.astype(np.uint64))
+        pd_stream = varbyte_encode(pdelta.astype(np.uint64))
+        pc_nb = _varbyte_nbytes(pcounts.astype(np.uint64))
+        pd_nb = _varbyte_nbytes(pdelta.astype(np.uint64))
+        pc_off = np.r_[np.int64(0), np.cumsum(pc_nb)]
+        pd_off = np.r_[np.int64(0), np.cumsum(pd_nb)]
+        # positions per term = positions of its postings (contiguous)
+        mv_pc = memoryview(pc_stream)
+        mv_pd = memoryview(pd_stream)
+        # pc_off is indexed by posting index; pd_off by flat-position index
+        grp_flat_start = p_start[g_start]
+        grp_flat_end = np.r_[grp_flat_start[1:], np.int64(flat.size)]
+        data["pos_counts_bin"] = [
+            bytes(mv_pc[pc_off[g_start[i]]:pc_off[g_end[i]]]) for i in range(k)]
+        data["pos_deltas_bin"] = [
+            bytes(mv_pd[pd_off[grp_flat_start[i]]:pd_off[grp_flat_end[i]]])
+            for i in range(k)]
+
+    frame = pd.DataFrame(data, columns=POSTINGS_COLUMNS)
+    if out_extra:
+        frame = pd.concat([pd.DataFrame(out_extra, columns=POSTINGS_COLUMNS),
+                           frame], ignore_index=True)
+        frame = frame.sort_values(["term", "shard"]).reset_index(drop=True)
+    return frame
+
+
+def _blocks_per_group(g_len: np.ndarray, block_size: int) -> np.ndarray:
+    return -(-g_len // block_size)
 
 
 def decode_row(row: dict | pd.Series, block_size: int = BLOCK_SIZE):

@@ -66,8 +66,11 @@ def score_exhaustive(
     postings = doc_postings(docs, text_col, id_col, opts)
     postings.persist()
     try:
-        n_docs = docs.count()
-        row = postings.agg(F.sum("tf").alias("tl")).collect()[0]
+        # one job for both corpus stats (every doc has >=1 postings row —
+        # empty docs carry a NULL-term marker — so countDistinct is N)
+        row = postings.agg(F.countDistinct("doc_id").alias("n"),
+                           F.sum("tf").alias("tl")).collect()[0]
+        n_docs = int(row["n"] or 0)
         total_len = int(row["tl"] or 0)
         if opts.avgdl_mode == "quantized":
             dls = postings.groupBy("doc_id").agg(F.first("doc_len").alias("dl"))

@@ -222,8 +222,16 @@ def fingerprints(docs: DataFrame, text_col: str = "text",
     output per-doc distinct-fingerprint count and an order-independent
     checksum. Shuffle-free until the final per-doc aggregate."""
     from pyspark.sql import Window
+    # One shuffle total: hash-partition the (small) doc rows by doc_id
+    # FIRST, so the exploded shingle stream, the window, the distinct and
+    # the per-doc aggregate all reuse that partitioning (Catalyst sees
+    # hashpartitioning(doc_id) already satisfies their required
+    # distribution). The md5 hash runs post-explode as a codegen'd scalar
+    # expression — never inside an interpreted higher-order function.
+    par = max(docs.sparkSession.sparkContext.defaultParallelism, 8)
     words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
-    base = docs.select(F.col(id_col).alias("doc_id"), words.alias("words"))
+    base = (docs.repartition(par, F.col(id_col))
+            .select(F.col(id_col).alias("doc_id"), words.alias("words")))
     sh = base.select(
         "doc_id",
         F.posexplode(
@@ -239,8 +247,7 @@ def fingerprints(docs: DataFrame, text_col: str = "text",
          .rowsBetween(-(FP_W - 1), 0))
     fps = (hashed
            .withColumn("win_min", F.min("h").over(w))
-           .withColumn("full", F.col("pos") >= FP_W - 1)
-           .filter("full")
+           .filter(F.col("pos") >= FP_W - 1)
            .select("doc_id", F.col("win_min").alias("fp"))
            .distinct())
     return (fps.groupBy("doc_id")

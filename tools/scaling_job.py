@@ -56,12 +56,20 @@ def main() -> None:
     for i in range(args.queries):
         a = KEYWORDS[i % len(KEYWORDS)]
         b = KEYWORDS[(i * 7 + 3) % len(KEYWORDS)]
-        qs.append(a if i % 3 == 0 else f"{a} {b}")
+        c = "ident_%d" % (i * 13 % 500)
+        qs.append(a if i % 3 == 0 else (f"{a} {b}" if i % 3 == 1 else f"{a} {b} {c}"))
+    from pg_textsearch_spark.index.query import search_batch
     idx.search(qs[0], k=10).collect()  # warm Arrow workers (untimed)
+    # batch throughput: all queries in one job (the cluster-correct shape;
+    # reference analogue: 691-query single-client batch, BASELINE.md)
     t1 = time.time()
-    for q in qs:
-        idx.search(q, k=10).collect()
+    n_hits = search_batch(idx, qs, k=10).count()
     query_sec = time.time() - t1
+    # single-query latency (scheduling-bound at local[] scale)
+    t2 = time.time()
+    for q in qs[:5]:
+        idx.search(q, k=10).collect()
+    single_sec = (time.time() - t2) / 5
 
     stats = idx.stats()
     print(json.dumps({
@@ -73,6 +81,8 @@ def main() -> None:
         "query_batch_sec": round(query_sec, 3),
         "qps": round(args.queries / query_sec, 2),
         "ms_per_query": round(1000 * query_sec / args.queries, 2),
+        "single_query_ms": round(1000 * single_sec, 1),
+        "batch_hits": int(n_hits),
         "segments": stats["num_segments"],
         "index_bytes": stats["bytes"],
         "total_len": stats["total_len"],
