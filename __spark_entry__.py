@@ -39,6 +39,7 @@ Q_AND = "window customer"
 Q_PHRASE = "hash value"
 Q_WEIGHTED = "merge merge batch"
 Q_ALL = "window customer"
+Q_BATCH = ["merge", "hash join", "window customer merge", "zebra", "batch value"]
 STAT_TERMS = ["hash", "join", "merge", "window", "zebra"]
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 EMB_DIM = 64
@@ -118,6 +119,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_topk_weighted"] = lambda s, d: _index_for(s, d).search(Q_WEIGHTED, k=10)
     q["bm25_topk_merged"] = lambda s, d: _merged_index_for(s, d).search(Q_MULTI, k=10)
     q["bm25_term_stats"] = lambda s, d: _index_for(s, d).term_stats(STAT_TERMS)
+    q["bm25_batch_topk"] = lambda s, d: __import__(
+        "pg_textsearch_spark.index.query", fromlist=["search_batch"]
+    ).search_batch(_index_for(s, d), Q_BATCH, k=10)
 
     # --- BM25 exhaustive join/groupBy path (reference Q9) ---
     q["bm25_score_all"] = lambda s, d: score_exhaustive(
@@ -166,6 +170,7 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_topk_weighted"] = bm25_oracle.bm25_oracle_sql(Q_WEIGHTED, k=10)
     o["bm25_topk_merged"] = bm25_oracle.bm25_oracle_sql(Q_MULTI, k=10)
     o["bm25_term_stats"] = bm25_oracle.term_stats_oracle_sql(STAT_TERMS)
+    o["bm25_batch_topk"] = bm25_oracle.bm25_batch_oracle_sql(Q_BATCH, k=10)
     o["bm25_score_all"] = bm25_oracle.bm25_oracle_sql(Q_ALL, k=None)
 
     o["text_token_count"] = textstats.token_counts_oracle_sql()

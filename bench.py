@@ -84,6 +84,12 @@ def main() -> None:
                                  k=None).collect(), n=2)
     queries["q8_term_stats"] = timed(
         lambda: idx.term_stats(["hash", "join", "merge"]).collect())
+    from pg_textsearch_spark.index.query import search_batch
+    batch_qs = ["merge", "hash join", "window customer merge", "batch value",
+                "group sort", "filter scan", "hash merge batch", "customer",
+                "join window", "value group"] * 3
+    queries["q9_batch30"] = timed(
+        lambda: search_batch(idx, batch_qs, k=10).count(), n=2)
 
     # pipeline operators (single run each — these are batch jobs)
     queries["p1_minhash_pairs"] = timed(

@@ -7,7 +7,7 @@ re-expressed Spark-first):
     -> assign global doc_id (given id col, or xxhash64 of key columns)
     -> deterministic doc_id-range segment assignment (``div`` on a span
        recorded in the manifest — stable across resumes)
-    -> one Arrow tokenizer pass (doc_postings)
+    -> one Arrow tokenizer pass (doc_term_arrays: ONE row per doc)
     -> groupBy(segment_id).applyInPandas(packer): sort, block, compress,
        write ``segments/seg-XXXXXX/{postings,docs}.parquet`` from the
        executor, then the ``_SEG_SUCCESS.json`` marker (finalize-then-mark,
@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..config import Bm25Options
-from ..spark_utils import doc_postings
+from ..spark_utils import doc_term_arrays
 from .manifest import SEG_MARKER, Manifest, SegmentRecord
 from .segment import MAX_POSTINGS_PER_ROW, pack_postings_frame
 
@@ -109,10 +109,16 @@ def write_segment_files(seg_dir: str, packed: pd.DataFrame,
     return os.path.getsize(ppath) + os.path.getsize(dpath)
 
 
-def make_packer(index_path: str, seg_ids: dict[int, str], opts: Bm25Options):
-    """applyInPandas function packing one segment group (B5-B10)."""
+def make_packer(index_path: str, seg_ids: dict[int, str], opts: Bm25Options,
+                doc_cols: list[str] | None = None):
+    """applyInPandas function packing one segment group (B5-B10).
+
+    ``doc_cols``: extra per-doc columns (content_sha256 + source metadata)
+    carried through the tokenizer pass and written into the per-segment
+    docmap — the docmap needs NO second scan of the source."""
     with_positions = opts.store_positions
     block_size = opts.block_size
+    doc_cols = doc_cols or []
 
     def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
         seg_no = int(key[0])
@@ -125,9 +131,29 @@ def make_packer(index_path: str, seg_ids: dict[int, str], opts: Bm25Options):
             st["resumed"] = True
             return pd.DataFrame([st])[list(PACK_STATS_SCHEMA.names)]
 
-        docs = (pdf[["doc_id", "doc_len", "fieldnorm"]]
-                .drop_duplicates("doc_id").sort_values("doc_id"))
-        postings = pdf[pdf["term"].notna()]
+        # input is ONE array-packed row per doc (doc_term_arrays);
+        # re-flatten to postings at C speed with repeat/concatenate
+        docs = (pdf[["doc_id", "doc_len", "fieldnorm"] + doc_cols]
+                .sort_values("doc_id"))
+        lens = np.fromiter((len(t) for t in pdf["terms"]),
+                           dtype=np.int64, count=len(pdf))
+        nz = lens > 0
+        if nz.any():
+            cols = {
+                "doc_id": np.repeat(pdf["doc_id"].to_numpy()[nz], lens[nz]),
+                "term": np.concatenate(pdf["terms"].to_numpy()[nz]),
+                "tf": np.concatenate(pdf["tfs"].to_numpy()[nz]),
+                "fieldnorm": np.repeat(pdf["fieldnorm"].to_numpy()[nz],
+                                       lens[nz]),
+            }
+            if with_positions:
+                cols["positions"] = np.concatenate(
+                    pdf["positions"].to_numpy()[nz])
+            postings = pd.DataFrame(cols)
+        else:
+            postings = pd.DataFrame(
+                {"doc_id": [], "term": [], "tf": [], "fieldnorm": [],
+                 "positions": []})
         packed = pack_postings_frame(postings, block_size=block_size,
                                      with_positions=with_positions)
         packed.insert(0, "segment_id", seg_id)
@@ -177,7 +203,12 @@ class Bm25Index:
         opts: Bm25Options | None = None,
         num_segments: int | None = None,
         resume: bool = False,
+        assume_full_id_range: bool = False,
     ) -> "Bm25Index":
+        """``assume_full_id_range``: skip the min/max/count pre-scan and
+        bucket over the full int64 range — correct whenever doc ids are
+        hash-distributed (xxhash64 of a natural key), which is also the
+        automatic path when ``id_col`` is None. Requires ``num_segments``."""
         opts = opts or Bm25Options()
         if Manifest.exists(path) and not resume:
             raise FileExistsError(
@@ -187,21 +218,32 @@ class Bm25Index:
             key_cols = [c for c in docs.columns if c != text_col]
             docs = docs.withColumn("__doc_id", F.xxhash64(*key_cols))
             id_col = "__doc_id"
+            if num_segments is not None:
+                assume_full_id_range = True
 
         src = docs.withColumn("__id", F.col(id_col).cast("long"))
-        lo, hi, n = src.agg(
-            F.min("__id"), F.max("__id"), F.count(F.lit(1))).collect()[0]
-        if n == 0:
-            raise ValueError("cannot build an index over an empty DataFrame")
-        if num_segments is None:
-            num_segments = max(1, -(-n // opts.docs_per_segment))
-        span = max(1, -(-(hi - lo + 1) // num_segments))
+        if assume_full_id_range and num_segments is not None:
+            lo = -(2 ** 63)
+            span = (2 ** 64) // num_segments
+        else:
+            lo, hi, n = src.agg(
+                F.min("__id"), F.max("__id"), F.count(F.lit(1))).collect()[0]
+            if n == 0:
+                raise ValueError("cannot build an index over an empty DataFrame")
+            if num_segments is None:
+                num_segments = max(1, -(-n // opts.docs_per_segment))
+            span = max(1, -(-(hi - lo + 1) // num_segments))
 
         manifest = Manifest(path, opts)
         seg_ids = {i: manifest.new_segment_id() for i in range(num_segments)}
         os.makedirs(os.path.join(path, "segments"), exist_ok=True)
 
-        postings = doc_postings(src, text_col, "__id", opts)
+        # docmap columns (sha256 + source metadata) ride the SAME tokenizer
+        # pass and shuffle — the whole build is one scan of the source
+        meta_cols = [c for c in docs.columns
+                     if c not in ("__id", "__doc_id", id_col, text_col)]
+        postings = doc_term_arrays(src, text_col, "__id", opts,
+                                   extra_cols=meta_cols, with_sha=True)
         # overflow-safe range bucketing: hashed ids span the full int64
         # range, so (doc_id - lo) can overflow long under ANSI mode —
         # bucket in double space (deterministic, clamped), which keeps the
@@ -211,14 +253,18 @@ class Bm25Index:
             F.lit(int(num_segments - 1)),
             F.floor((F.col("doc_id").cast("double") - float(lo)) / float(span))
             .cast("int"))
+        doc_cols = ["content_sha256"] + meta_cols
         stats_df = (
             postings.withColumn("seg", seg_col)
             .groupBy("seg")
-            .applyInPandas(make_packer(path, seg_ids, opts), PACK_STATS_SCHEMA)
+            .applyInPandas(make_packer(path, seg_ids, opts, doc_cols),
+                           PACK_STATS_SCHEMA)
         )
         stats = stats_df.collect()
 
+        total = 0
         for r in stats:
+            total += r["num_docs"]
             manifest.add_segment(SegmentRecord(
                 segment_id=r["segment_id"], level=0,
                 num_docs=r["num_docs"], total_len=r["total_len"],
@@ -226,19 +272,12 @@ class Bm25Index:
                 bytes=r["bytes"], min_doc_id=r["min_doc_id"],
                 max_doc_id=r["max_doc_id"], max_doc_freq=r["max_doc_freq"],
                 skew_factor=r["skew_factor"],
-                lineage={"kind": "build", "id_lo": int(lo), "id_hi": int(hi),
+                lineage={"kind": "build", "id_lo": int(lo),
                          "span": int(span), "resumed": bool(r["resumed"])},
             ))
+        if total == 0:
+            raise ValueError("cannot build an index over an empty DataFrame")
         manifest.save()
-
-        # global docmap with the per-row content invariant (sha256)
-        docmap_dir = os.path.join(path, "docs")
-        meta_cols = [c for c in docs.columns
-                     if c not in ("__id", "__doc_id", id_col, text_col)]
-        (src.select(F.col("__id").alias("doc_id"),
-                    F.sha2(F.col(text_col).cast("string"), 256).alias("content_sha256"),
-                    *[F.col(c) for c in meta_cols])
-            .write.mode("overwrite").parquet(docmap_dir))
         return cls(spark, path)
 
     # -- introspection (bm25_summarize_index analogue) ----------------------
@@ -265,14 +304,20 @@ class Bm25Index:
                 for s in self.manifest.segments]
 
     def docmap(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "docs"))
+        """Global docmap = union of per-segment docmaps (doc_id, doc_len,
+        fieldnorm, content_sha256, source metadata)."""
+        return self.spark.read.parquet(*self.docs_paths())
 
     def verify_content(self, source: DataFrame, text_col: str, id_col: str) -> int:
         """Assert per-row sha256(content) equality vs the source (input_hint
         end-to-end invariant). Returns number of rows checked; raises on any
         mismatch."""
-        src = source.select(F.col(id_col).cast("long").alias("doc_id"),
-                            F.sha2(F.col(text_col).cast("string"), 256).alias("src_sha"))
+        text_expr = F.col(text_col)
+        if isinstance(source.schema[text_col].dataType, T.ArrayType):
+            text_expr = F.concat_ws(" ", F.col(text_col))
+        src = source.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.sha2(F.coalesce(text_expr, F.lit("")), 256).alias("src_sha"))
         joined = self.docmap().select("doc_id", "content_sha256").join(src, "doc_id", "full")
         bad = joined.filter(
             F.col("content_sha256").isNull() | F.col("src_sha").isNull()

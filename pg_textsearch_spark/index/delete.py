@@ -94,22 +94,13 @@ def vacuum(index) -> dict:
     tombs = load_deletes(index)
     before = index.manifest.total_docs
     if index.manifest.segments:
+        # the merge drops dead rows from postings AND the per-segment
+        # docmaps in one pass; a single segment still needs a rewrite run
         if len(index.manifest.segments) > 1:
             force_merge_all(index)
         else:
-            # single segment still needs a rewrite pass to drop dead docs
             seg = index.manifest.segments[0]
             merge_segments(index, [seg], out_level=seg.level)
-
-    # rewrite the global docmap without dead rows
-    if tombs.size:
-        dm_dir = os.path.join(index.path, "docs")
-        tmp_dir = dm_dir + ".vacuum.tmp"
-        dm = index.spark.read.parquet(dm_dir)
-        dels = deletes_df(index)
-        dm.join(dels, "doc_id", "left_anti").write.mode("overwrite").parquet(tmp_dir)
-        shutil.rmtree(dm_dir)
-        os.replace(tmp_dir, dm_dir)
     clear_deletes(index)
     return {"docs_before": before, "docs_after": index.manifest.total_docs,
             "tombstones_cleared": int(tombs.size)}

@@ -38,33 +38,56 @@ from ..config import Bm25Options
 from .manifest import SEG_MARKER, SegmentRecord
 from .segment import decode_positions, decode_row, pack_postings_frame
 
-DECODE_SCHEMA = ("term string, doc_id long, tf int, fieldnorm int, "
-                 "positions array<int>")
-
-
-def _decode_rows(opts: Bm25Options):
+def _merge_group_packer(opts: Bm25Options, seg_id: str, n_salts: int,
+                        deleted: np.ndarray | None):
+    """applyInPandas body for one (term, salt) group of PACKED shard rows:
+    decode each input row (vectorized), drop tombstoned docs, concatenate,
+    re-sort by doc_id, re-pack. The shuffle moves compressed shard rows —
+    never per-posting rows — so merge shuffle volume ≈ index size, not
+    postings count."""
     block_size = opts.block_size
     with_pos = opts.store_positions
 
-    def run(batches):
-        for pdf in batches:
-            outs = []
-            for _, r in pdf.iterrows():
-                ids, tfs, norms = decode_row(r, block_size)
-                d = {"term": np.repeat(r["term"], ids.size),
-                     "doc_id": ids, "tf": tfs.astype(np.int32),
-                     "fieldnorm": norms.astype(np.int32)}
-                frame = pd.DataFrame(d)
+    def pack_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        term, salt = key[0], int(key[1])
+        ids_l, tfs_l, norms_l, pos_l = [], [], [], []
+        for _, r in pdf.iterrows():
+            ids, tfs, norms = decode_row(r, block_size)
+            if deleted is not None and deleted.size and ids.size:
+                p = np.searchsorted(deleted, ids)
+                p[p >= deleted.size] = deleted.size - 1
+                alive = deleted[p] != ids
                 if with_pos:
-                    pos = decode_positions(r)
-                    frame["positions"] = [p.astype(np.int32) for p in pos] if pos else None
-                else:
-                    frame["positions"] = None
-                outs.append(frame)
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+                    pos = decode_positions(r) or []
+                    pos_l.extend(pl for pl, a in zip(pos, alive) if a)
+                ids, tfs, norms = ids[alive], tfs[alive], norms[alive]
+            elif with_pos:
+                pos = decode_positions(r) or []
+                pos_l.extend(pos)
+            ids_l.append(ids); tfs_l.append(tfs); norms_l.append(norms)
+        ids = np.concatenate(ids_l) if ids_l else np.empty(0, np.int64)
+        if ids.size == 0:
+            empty = pack_postings_frame(pd.DataFrame(
+                {"doc_id": [], "term": [], "tf": [], "fieldnorm": [],
+                 "positions": []}), block_size, with_positions=with_pos)
+            empty.insert(0, "segment_id", seg_id)
+            return empty
+        tfs = np.concatenate(tfs_l)
+        norms = np.concatenate(norms_l)
+        frame = {"doc_id": ids, "term": np.repeat(term, ids.size),
+                 "tf": tfs, "fieldnorm": norms}
+        if with_pos:
+            frame["positions"] = np.asarray(pos_l, dtype=object)
+        packed = pack_postings_frame(pd.DataFrame(frame), block_size,
+                                     with_positions=with_pos)
+        # unique shard ids across salts of the same term; doc-range order
+        # is carried by min_doc_id (the query kernel never assumes shard
+        # ranges are disjoint, only that docs are unique per term)
+        packed["shard"] = packed["shard"].to_numpy() * n_salts + salt
+        packed.insert(0, "segment_id", seg_id)
+        return packed
 
-    return run
+    return pack_group
 
 
 def merge_segments(index, seg_records: list[SegmentRecord], out_level: int,
@@ -86,36 +109,27 @@ def merge_segments(index, seg_records: list[SegmentRecord], out_level: int,
     salt_span = max(1, (hi - lo + 1) // n_salts)
 
     rows = spark.read.parquet(*in_postings)
-    decoded = rows.mapInPandas(_decode_rows(opts), DECODE_SCHEMA)
 
-    # drop tombstoned docs (M4: the reference's dead-doc elimination at
-    # merge, src/segment/merge.c:839-866) — a distributed anti-join, never
-    # a driver-side collect
-    from .delete import deletes_df
-    dels = deletes_df(index)
-    if dels is not None:
-        decoded = decoded.join(dels, "doc_id", "left_anti")
+    # tombstones (M4: the reference's dead-doc elimination at merge,
+    # src/segment/merge.c:839-866): masked inside the group packer after
+    # block decode — shard rows stay packed through the shuffle
+    from .delete import load_deletes
+    deleted = load_deletes(index)
+    deleted = deleted if deleted.size else None
 
-    salted = decoded.withColumn(
+    # SALTED REPARTITIONING: shuffle by (term, doc-range salt of the shard
+    # row's min_doc_id) so a mega-term (common keyword) spreads over up to
+    # n_salts reducers instead of one skewed reducer. Rows stay compressed:
+    # merge shuffle volume ~= index bytes, not postings count.
+    salted = rows.withColumn(
         "salt",
         F.least(F.lit(int(n_salts - 1)),
-                F.floor((F.col("doc_id").cast("double") - float(lo))
+                F.floor((F.col("min_doc_id").cast("double") - float(lo))
                         / float(salt_span)).cast("int")))
 
-    block_size = opts.block_size
-    with_pos = opts.store_positions
-
-    def pack_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        packed = pack_postings_frame(pdf, block_size=block_size,
-                                     with_positions=with_pos)
-        # shard ids must be unique per (term, salt); doc-range order is
-        # carried by min_doc_id, which the query kernel uses for assembly
-        packed["shard"] = packed["shard"].astype(np.int64) * int(1e6) + int(key[1])
-        packed.insert(0, "segment_id", seg_id)
-        return packed
+    pack_group = _merge_group_packer(opts, seg_id, n_salts, deleted)
 
     from .build import PACK_STATS_SCHEMA, _postings_arrow_schema  # schema reuse
-    out_schema_fields = _postings_arrow_schema(True)
     spark_schema = ("segment_id string, term string, shard long, "
                     "min_doc_id long, last_doc_id long, doc_freq int, "
                     "num_blocks int, doc_ids_bin binary, tfs_bin binary, "
@@ -129,7 +143,9 @@ def merge_segments(index, seg_records: list[SegmentRecord], out_level: int,
     packed.write.mode("overwrite").parquet(os.path.join(seg_dir, "postings"))
 
     docs = spark.read.parquet(*in_docs)
-    if dels is not None:
+    if deleted is not None:
+        from .delete import deletes_df
+        dels = deletes_df(index)
         docs = docs.join(dels, "doc_id", "left_anti")
     docs.write.mode("overwrite").parquet(os.path.join(seg_dir, "docs"))
 

@@ -149,7 +149,7 @@ def pack_postings_frame(
     slicing the shared buffers. Terms longer than ``max_postings_per_row``
     (rare mega-terms) fall back to the sharding path (pack_term)."""
     if len(pdf) == 0:
-        return pd.DataFrame({c: [] for c in POSTINGS_COLUMNS})
+        return _empty_packed_frame()
     order = np.lexsort((pdf["doc_id"].to_numpy(), pdf["term"].to_numpy()))
     terms = pdf["term"].to_numpy()[order]
     ids = pdf["doc_id"].to_numpy()[order].astype(np.int64)
@@ -229,12 +229,19 @@ def pack_postings_frame(
     doc_bins = [bytes(mv_doc[d_off[g_start[i]]:d_off[g_end[i]]]) for i in range(k)]
     tf_bins = [bytes(mv_tf[t_off[g_start[i]]:t_off[g_end[i]]]) for i in range(k)]
     norm_bins = [bytes(mv_norm[g_start[i]:g_end[i]]) for i in range(k)]
-    sk_last = np.split(blk_last_id, blk_bounds[1:-1])
-    sk_cnt = np.split(blk_count, blk_bounds[1:-1])
-    sk_mtf = np.split(blk_max_tf, blk_bounds[1:-1])
-    sk_mnm = np.split(blk_min_norm, blk_bounds[1:-1])
-    sk_doff = np.split(blk_doc_off, blk_bounds[1:-1])
-    sk_toff = np.split(blk_tf_off, blk_bounds[1:-1])
+    def _obj_col(arrs: list) -> np.ndarray:
+        # object array of per-term ndarrays; a plain list would collapse to
+        # a 2D block when all lengths match, which Arrow can't convert
+        out = np.empty(len(arrs), dtype=object)
+        out[:] = arrs
+        return out
+
+    sk_last = _obj_col(np.split(blk_last_id, blk_bounds[1:-1]))
+    sk_cnt = _obj_col(np.split(blk_count, blk_bounds[1:-1]))
+    sk_mtf = _obj_col(np.split(blk_max_tf, blk_bounds[1:-1]))
+    sk_mnm = _obj_col(np.split(blk_min_norm, blk_bounds[1:-1]))
+    sk_doff = _obj_col(np.split(blk_doc_off, blk_bounds[1:-1]))
+    sk_toff = _obj_col(np.split(blk_tf_off, blk_bounds[1:-1]))
 
     data = {
         "term": uniq.astype(object),
@@ -294,6 +301,23 @@ def pack_postings_frame(
 
 def _blocks_per_group(g_len: np.ndarray, block_size: int) -> np.ndarray:
     return -(-g_len // block_size)
+
+
+_PACKED_DTYPES = {
+    "term": object, "shard": np.int64, "min_doc_id": np.int64,
+    "last_doc_id": np.int64, "doc_freq": np.int32, "num_blocks": np.int32,
+    "doc_ids_bin": object, "tfs_bin": object, "norms_bin": object,
+    "skip_last_doc_id": object, "skip_doc_count": object,
+    "skip_max_tf": object, "skip_min_norm": object, "skip_doc_off": object,
+    "skip_tf_off": object, "pos_counts_bin": object, "pos_deltas_bin": object,
+}
+
+
+def _empty_packed_frame() -> pd.DataFrame:
+    # dtypes must survive Arrow conversion (a bare [] column defaults to
+    # float64, which Arrow refuses to cast to list/binary types)
+    return pd.DataFrame({c: pd.Series(dtype=_PACKED_DTYPES[c])
+                         for c in POSTINGS_COLUMNS})
 
 
 def decode_row(row: dict | pd.Series, block_size: int = BLOCK_SIZE):

@@ -172,3 +172,18 @@ FROM qt JOIN tok ON tok.term = qt.term
 GROUP BY qt.term
 ORDER BY qt.term
 """
+
+
+def bm25_batch_oracle_sql(queries: list[str], k: int = 10,
+                          table: str = "documents", id_col: str = "doc_id",
+                          text_col: str = "text",
+                          opts: Bm25Options | None = None) -> str:
+    """Oracle for ``search_batch``: UNION ALL of the per-query oracles with
+    a ``query_id`` column, ordered by (query_id, score DESC, doc_id ASC)."""
+    parts = []
+    for i, q in enumerate(queries):
+        inner = bm25_oracle_sql(q, table=table, id_col=id_col,
+                                text_col=text_col, k=k, opts=opts)
+        parts.append(f"SELECT {i} AS query_id, * FROM (\n{inner}\n)")
+    return ("\nUNION ALL\n".join(parts)
+            + "\nORDER BY query_id, score DESC, doc_id")

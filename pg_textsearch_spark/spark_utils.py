@@ -134,8 +134,90 @@ def doc_postings(df: DataFrame, text_col: str, id_col: str,
                 data["positions"] = out_pos
             yield pd.DataFrame(data)
 
+    # text-array flatten (reference B2, src/types/array.c:35-70): arrays of
+    # text are joined with single spaces; concat_ws skips NULL elements
+    text_expr = F.col(text_col)
+    if isinstance(df.schema[text_col].dataType, T.ArrayType):
+        text_expr = F.concat_ws(" ", F.col(text_col))
     src = df.select(F.col(id_col).cast("long").alias("doc_id"),
-                    F.col(text_col).alias("text"))
+                    text_expr.alias("text"))
+    return src.mapInPandas(run, schema)
+
+
+DOC_ARRAYS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("terms", T.ArrayType(T.StringType())),
+    T.StructField("tfs", T.ArrayType(T.IntegerType())),
+    T.StructField("doc_len", T.LongType()),
+    T.StructField("fieldnorm", T.IntegerType()),
+    T.StructField("positions", T.ArrayType(T.ArrayType(T.IntegerType()))),
+])
+
+
+def doc_term_arrays(df: DataFrame, text_col: str, id_col: str,
+                    opts: Bm25Options, extra_cols: list[str] | None = None,
+                    with_sha: bool = False) -> DataFrame:
+    """(docs) -> ONE row per document: (doc_id, terms[], tfs[], doc_len,
+    fieldnorm[, positions[][]]).
+
+    The build-side dataflow shuffles THIS shape, not exploded postings: a
+    posting row per (doc, term) costs row-conversion overhead per posting
+    through every exchange (at 33 M postings the shuffle machinery dwarfs
+    the actual pack work); one array-packed row per doc moves the same
+    bytes with ~100x fewer rows, and the packer re-flattens with
+    np.repeat/concatenate at C speed. Same tokenizer contract as
+    doc_postings (reference B3+B4)."""
+    config = opts.text_config
+    want_pos = opts.store_positions
+    extra_cols = extra_cols or []
+    fields = [f for f in DOC_ARRAYS_SCHEMA.fields
+              if want_pos or f.name != "positions"]
+    schema = T.StructType(fields)
+    if with_sha:
+        schema = schema.add("content_sha256", T.StringType())
+    for c in extra_cols:
+        schema = schema.add(df.schema[c])
+
+    def run(batches):
+        import hashlib
+        cache: dict = {}
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            texts = pdf["text"]
+            terms_c, tfs_c, dls, fns, pos_c = [], [], [], [], []
+            for text in texts:
+                if want_pos:
+                    terms, tfs, dl, pos = _tokenize_with_positions(
+                        text, config, cache)
+                    pos_c.append(pos)
+                else:
+                    terms, tfs, dl = tokenize(text, config, cache)
+                terms_c.append(terms)
+                tfs_c.append(np.asarray(tfs, dtype=np.int32))
+                dls.append(dl)
+                fns.append(int(encode_fieldnorm([dl])[0]))
+            data = {"doc_id": ids.astype(np.int64), "terms": terms_c,
+                    "tfs": tfs_c,
+                    "doc_len": np.asarray(dls, dtype=np.int64),
+                    "fieldnorm": np.asarray(fns, dtype=np.int32)}
+            if want_pos:
+                data["positions"] = pos_c
+            if with_sha:
+                # per-row content invariant (input_hint): sha256 of the
+                # exact string the tokenizer saw, carried into the docmap
+                data["content_sha256"] = [
+                    hashlib.sha256((t or "").encode("utf-8")).hexdigest()
+                    for t in texts]
+            for c in extra_cols:
+                data[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(data)
+
+    text_expr = F.col(text_col)
+    if isinstance(df.schema[text_col].dataType, T.ArrayType):
+        text_expr = F.concat_ws(" ", F.col(text_col))
+    src = df.select(F.col(id_col).cast("long").alias("doc_id"),
+                    text_expr.alias("text"),
+                    *[F.col(c) for c in extra_cols])
     return src.mapInPandas(run, schema)
 
 

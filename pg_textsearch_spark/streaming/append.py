@@ -17,7 +17,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..spark_utils import doc_postings
+from ..spark_utils import doc_term_arrays
 from ..index.manifest import SegmentRecord
 
 
@@ -41,10 +41,14 @@ def append_batch(index, docs: DataFrame, text_col: str, id_col: str,
 
     seg_id = manifest.new_segment_id()
     seg_ids = {0: seg_id}
-    postings = doc_postings(src, text_col, "__id", opts)
+    meta_cols = [c for c in docs.columns
+                 if c not in ("__id", id_col, text_col)]
+    postings = doc_term_arrays(src, text_col, "__id", opts,
+                               extra_cols=meta_cols, with_sha=True)
     stats = (postings.withColumn("seg", F.lit(0))
              .groupBy("seg")
-             .applyInPandas(make_packer(index.path, seg_ids, opts),
+             .applyInPandas(make_packer(index.path, seg_ids, opts,
+                                        ["content_sha256"] + meta_cols),
                             PACK_STATS_SCHEMA)
              .collect())
 
@@ -62,13 +66,7 @@ def append_batch(index, docs: DataFrame, text_col: str, id_col: str,
         manifest.add_segment(rec)
         recs.append(rec)
     manifest.save()
-
-    # extend the global docmap (content sha256 invariant included)
-    meta_cols = [c for c in docs.columns if c not in (text_col, "__id", id_col)]
-    (src.select(F.col("__id").alias("doc_id"),
-                F.sha2(F.col(text_col).cast("string"), 256).alias("content_sha256"),
-                *[F.col(c) for c in meta_cols])
-        .write.mode("append").parquet(os.path.join(index.path, "docs")))
+    # (docmap rows ride inside the new segment's docs/ — no extra write)
 
     # auto-spill -> tiered compaction trigger (B13/M1 analogue)
     if auto_compact:

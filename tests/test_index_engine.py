@@ -209,3 +209,17 @@ def test_hash_doc_ids_when_no_id_col(spark, tmp_index):
     resolved = (idx.search("hello", k=5)
                 .join(idx.docmap(), "doc_id").select("repo", "path").collect())
     assert (resolved[0]["repo"], resolved[0]["path"]) == ("r1", "a.py")
+
+
+def test_search_batch_matches_single(spark, corpus, tmp_index):
+    from pg_textsearch_spark.index.query import search_batch
+    idx = Bm25Index.build(spark, corpus, "content", tmp_index, id_col="id",
+                          opts=ENG, num_segments=3)
+    qs = ["alpha", "gamma delta", "epsilon zeta eta", "document", "nomatch"]
+    got = search_batch(idx, qs, k=7).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for i, q in enumerate(qs):
+        want = rows(idx.search(q, k=7))
+        assert by_q.get(i, []) == want, q

@@ -47,7 +47,8 @@ def main() -> None:
     t0 = time.time()
     idx = Bm25Index.build(spark, src, "content", args.index_path,
                           id_col="doc_id", opts=opts,
-                          num_segments=args.num_segments)
+                          num_segments=args.num_segments,
+                          assume_full_id_range=True)  # ids are xxhash64
     build_sec = time.time() - t0
 
     checked = idx.verify_content(src, "content", "doc_id")
@@ -61,10 +62,14 @@ def main() -> None:
     from pg_textsearch_spark.index.query import search_batch
     idx.search(qs[0], k=10).collect()  # warm Arrow workers (untimed)
     # batch throughput: all queries in one job (the cluster-correct shape;
-    # reference analogue: 691-query single-client batch, BASELINE.md)
-    t1 = time.time()
-    n_hits = search_batch(idx, qs, k=10).count()
-    query_sec = time.time() - t1
+    # reference analogue: 691-query single-client batch, BASELINE.md).
+    # First run warms the FileIndex + codegen; report the steady-state min.
+    times = []
+    for _ in range(2):
+        t1 = time.time()
+        n_hits = search_batch(idx, qs, k=10).count()
+        times.append(time.time() - t1)
+    query_sec = min(times)
     # single-query latency (scheduling-bound at local[] scale)
     t2 = time.time()
     for q in qs[:5]:
