@@ -58,13 +58,8 @@ def run_level(cpus: int, corpus: str, zip_path: str, tag: str) -> dict:
         "spark-submit",
         "--master", f"local[{cpus}]",
         "--py-files", zip_path,
-        # one reducer per segment group at every level: balanced waves at
-        # both N and 4N (2*cpus partitions left 64 groups lumpy via
-        # balls-in-bins; the straggler tail broke 4N scaling). AQE
-        # coalescing would re-lump the small groups, so it's off here.
-        "--conf", "spark.sql.shuffle.partitions=64",
+        "--conf", "spark.sql.shuffle.partitions=%d" % max(cpus * 2, 16),
         "--conf", "spark.sql.adaptive.enabled=true",
-        "--conf", "spark.sql.adaptive.coalescePartitions.enabled=false",
         "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
         # identical heap at both levels for a fair comparison; 8g measured
         # fastest on this box (larger heaps slow G1 on the shared VM)
