@@ -326,11 +326,25 @@ class Bm25Index:
             raise AssertionError(f"content sha256 mismatch on {bad} rows")
         return joined.count()
 
+    def describe(self) -> dict:
+        """bm25_dump_index / bm25_summarize_index analogue
+        (reference sql/pg_textsearch--1.4.0-dev.sql:236-255): stats plus
+        per-segment records with lineage."""
+        s = self.stats()
+        s["segments"] = [rec.to_dict() for rec in self.manifest.segments]
+        return s
+
     # -- search API lives in query.py; bound here for convenience -----------
     def search(self, query: str, k: int | None = 10, mode: str = "or",
-               round_to: int = 4) -> DataFrame:
+               round_to: int = 4, negate: bool = False) -> DataFrame:
+        """``negate=True`` returns the reference's ``<@>`` sign convention
+        (negative BM25, lower = better — README.md:91)."""
         from .query import search_index
-        return search_index(self, query, k=k, mode=mode, round_to=round_to)
+        out = search_index(self, query, k=k, mode=mode, round_to=round_to)
+        if negate:
+            out = out.select("doc_id", (-F.col("score")).alias("score")) \
+                     .orderBy(F.asc("score"), F.asc("doc_id"))
+        return out
 
     def term_stats(self, terms: list[str]) -> DataFrame:
         from .query import term_stats

@@ -77,7 +77,12 @@ def _merge_group_packer(opts: Bm25Options, seg_id: str, n_salts: int,
         frame = {"doc_id": ids, "term": np.repeat(term, ids.size),
                  "tf": tfs, "fieldnorm": norms}
         if with_pos:
-            frame["positions"] = np.asarray(pos_l, dtype=object)
+            # element-wise fill: np.asarray(..., object) goes 2D when all
+            # position lists happen to share a length, which pandas rejects
+            pos_arr = np.empty(len(pos_l), dtype=object)
+            for i, p in enumerate(pos_l):
+                pos_arr[i] = p
+            frame["positions"] = pos_arr
         packed = pack_postings_frame(pd.DataFrame(frame), block_size,
                                      with_positions=with_pos)
         # unique shard ids across salts of the same term; doc-range order
