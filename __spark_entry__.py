@@ -128,6 +128,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, _docs(s, d), "text", "doc_id", Q_ALL,
         opts=Bm25Options(text_config="simple"), k=None)
 
+    # --- composition patterns (reference README.md:120-160, 509-529) ---
+    # pre-filtered scoring: standalone BM25 over a filtered corpus
+    q["bm25_prefiltered"] = lambda s, d: score_exhaustive(
+        s, _docs(s, d).filter(F.col("lang") == "es"), "text", "doc_id",
+        Q_ALL, opts=Bm25Options(text_config="simple"), k=10)
+
+    # faceting over the top-k result set
+    def _facets(s, d):
+        top = _index_for(s, d).search(Q_MULTI, k=50)
+        meta = _docs(s, d).select("doc_id", "lang")
+        return (top.join(F.broadcast(meta), "doc_id")
+                .groupBy(F.col("lang").alias("facet"))
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.round(F.max("score"), 4).alias("best_score"))
+                .orderBy(F.desc("n_docs"), F.asc("facet")))
+    q["bm25_facets"] = _facets
+
     # --- text analysis ---
     q["text_token_count"] = lambda s, d: textstats.token_counts(_docs(s, d))
     q["text_quality"] = lambda s, d: textstats.quality_scores(_docs(s, d))
@@ -172,6 +189,9 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_term_stats"] = bm25_oracle.term_stats_oracle_sql(STAT_TERMS)
     o["bm25_batch_topk"] = bm25_oracle.bm25_batch_oracle_sql(Q_BATCH, k=10)
     o["bm25_score_all"] = bm25_oracle.bm25_oracle_sql(Q_ALL, k=None)
+    o["bm25_prefiltered"] = bm25_oracle.bm25_oracle_sql(
+        Q_ALL, table="(SELECT * FROM documents WHERE lang = 'es')", k=10)
+    o["bm25_facets"] = bm25_oracle.facet_oracle_sql(Q_MULTI, k=50)
 
     o["text_token_count"] = textstats.token_counts_oracle_sql()
     o["text_quality"] = textstats.quality_scores_oracle_sql()

@@ -187,3 +187,24 @@ def bm25_batch_oracle_sql(queries: list[str], k: int = 10,
         parts.append(f"SELECT {i} AS query_id, * FROM (\n{inner}\n)")
     return ("\nUNION ALL\n".join(parts)
             + "\nORDER BY query_id, score DESC, doc_id")
+
+
+def facet_oracle_sql(query: str, k: int = 50, facet_col: str = "lang",
+                     table: str = "documents", id_col: str = "doc_id",
+                     text_col: str = "text",
+                     opts: Bm25Options | None = None) -> str:
+    """Oracle for top-k faceting (reference README.md:509-529: facet counts
+    over the top-k result set): bm25 top-k joined back to the source,
+    grouped by the facet column."""
+    inner = bm25_oracle_sql(query, table=table, id_col=id_col,
+                            text_col=text_col, k=k, opts=opts)
+    return f"""
+WITH topk AS (
+{inner}
+)
+SELECT d.{facet_col} AS facet, COUNT(*)::BIGINT AS n_docs,
+       ROUND(MAX(t.score), 4) AS best_score
+FROM topk t JOIN {table} d ON t.doc_id = d.{id_col}
+GROUP BY d.{facet_col}
+ORDER BY n_docs DESC, facet
+"""
