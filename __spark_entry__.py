@@ -31,6 +31,7 @@ from pg_textsearch_spark import oracle as bm25_oracle
 
 SIMPLE_OPTS = Bm25Options(text_config="simple", store_positions=True,
                           docs_per_segment=200)
+ENGLISH_OPTS = Bm25Options(text_config="english", docs_per_segment=200)
 
 # queries chosen from the synthetic corpus vocabulary
 Q_SINGLE = "merge"
@@ -144,6 +145,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.round(F.max("score"), 4).alias("best_score"))
                 .orderBy(F.desc("n_docs"), F.asc("facet")))
     q["bm25_facets"] = _facets
+
+    # english config (Snowball stemmer + stopwords — not SQL-expressible,
+    # so no DuckDB oracle: driver records the weaker rows-only check; the
+    # stemming contract is pytest-validated against reference vectors)
+    def _english(s, d):
+        key = "english:" + os.path.abspath(d)
+        idx = _INDEX_CACHE.get(key)
+        if idx is None:
+            tag = hashlib.md5(key.encode()).hexdigest()[:10]
+            path = os.path.join(tempfile.gettempdir(), f"pgts_entry_idx_{tag}")
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            idx = Bm25Index.build(s, _docs(s, d), "text", path,
+                                  id_col="doc_id", opts=ENGLISH_OPTS)
+            _INDEX_CACHE[key] = idx
+        # stemmed query: 'merging'/'windows' hit the same lexemes as
+        # 'merge'/'window' under the english config
+        return idx.search("merging windows", k=10)
+    q["bm25_topk_english"] = _english
 
     # --- text analysis ---
     q["text_token_count"] = lambda s, d: textstats.token_counts(_docs(s, d))
