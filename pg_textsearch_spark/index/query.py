@@ -80,7 +80,8 @@ def term_stats(index: "Bm25Index", terms: list[str]) -> DataFrame:
 def make_segment_kernel(qfreqs: dict[str, float], n_docs: int,
                         k: int | None, opts: Bm25Options, avgdl: float,
                         mode: str, phrase_occs: list[tuple[str, int]] | None,
-                        deleted: np.ndarray | None = None):
+                        deleted: np.ndarray | None = None,
+                        static_df: dict[str, int] | None = None):
     """Build the applyInPandas kernel. ``qfreqs``: term -> query frequency.
 
     IDFs are computed inside the kernel from the ``gdf`` column (global
@@ -115,10 +116,15 @@ def make_segment_kernel(qfreqs: dict[str, float], n_docs: int,
         for _, row in pdf.sort_values(["term", "shard"]).iterrows():
             per_term.setdefault(row["term"], []).append(row)
 
-        # global IDF from the window-attached gdf column (identical on
-        # every shard row of a term, across all segments)
-        weights = {t: qfreqs[t] * idf(n_docs, int(rows_[0]["gdf"]))
-                   for t, rows_ in per_term.items()}
+        # global IDF: from the driver's df cache when warm (static), else
+        # from the window-attached gdf column (identical on every shard
+        # row of a term, across all segments)
+        if static_df is not None:
+            weights = {t: qfreqs[t] * idf(n_docs, static_df[t])
+                       for t in per_term}
+        else:
+            weights = {t: qfreqs[t] * idf(n_docs, int(rows_[0]["gdf"]))
+                       for t, rows_ in per_term.items()}
 
         # per-term upper bound from skip metadata (block_max_tf + min
         # fieldnorm — the reference's bound inputs, bmw.c:382-396 applied to
@@ -348,17 +354,41 @@ def search_index(index: "Bm25Index", query: str, k: int | None = 10,
 
     from .delete import load_deletes
     deleted = load_deletes(index)
+
+    # per-manifest-version doc_freq cache: df only changes on
+    # build/append/merge, so repeated query terms skip the aggregation
+    # entirely — warm queries are ONE no-shuffle-to-window job
+    ver = (index.manifest.updated_at, len(index.manifest.segments))
+    cached = getattr(index, "_df_cache", None)
+    if cached is None or cached[0] != ver:
+        index._df_cache = (ver, {})
+    dfc = index._df_cache[1]
+    static_df = None
+    if all(t in dfc for t in terms):
+        static_df = {t: dfc[t] for t in terms}
+
     kernel = make_segment_kernel(qfreqs, n, k, opts, avgdl, mode, phrase_occs,
-                                 deleted=deleted if deleted.size else None)
+                                 deleted=deleted if deleted.size else None,
+                                 static_df=static_df)
     postings = _read_postings(index, terms)
-    # ONE job: global per-term doc_freq via a window aggregate (tiny —
-    # only the query terms' dictionary rows flow through it), then the
-    # per-segment scoring kernel. No driver round-trip between Q2 and Q4/Q5.
-    from pyspark.sql import Window
-    rows = postings.withColumn(
-        "gdf", F.sum("doc_freq").over(Window.partitionBy("term")))
     out_schema = "doc_id long, raw_score double, n_terms int"
-    local = rows.groupBy("segment_id").applyInPandas(kernel, out_schema)
+    if static_df is None:
+        # cold terms — the search job itself stays ONE job: global
+        # per-term doc_freq via a window aggregate (tiny — only the query
+        # terms' dictionary rows flow through it), then the per-segment
+        # scoring kernel. A small extra dictionary aggregation fills the
+        # cache so the NEXT query on these terms skips the window.
+        from pyspark.sql import Window
+        rows = postings.withColumn(
+            "gdf", F.sum("doc_freq").over(Window.partitionBy("term")))
+        local = rows.groupBy("segment_id").applyInPandas(kernel, out_schema)
+        for r in (postings.groupBy("term")
+                  .agg(F.sum("doc_freq").alias("df")).collect()):
+            dfc[r["term"]] = int(r["df"])
+        for t in terms:
+            dfc.setdefault(t, 0)
+    else:
+        local = postings.groupBy("segment_id").applyInPandas(kernel, out_schema)
     result = local.select(
         "doc_id", F.round(F.col("raw_score"), round_to).alias("score"))
     result = result.orderBy(F.desc("score"), F.asc("doc_id"))
