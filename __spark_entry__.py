@@ -7,9 +7,10 @@ training-data pipeline suite; ``oracle_sql()`` gives the DuckDB twin of each
 convention, test/sql/validation.sql + validate_queries.sql).
 
 BM25 queries run the real segment-index engine (build once per sf_dir into
-a scratch dir, then Block-Max-pruned distributed search). The ``simple``
-text config is used for oracle-checked queries because it is
-SQL-expressible; the english/Snowball path is validated by tests/.
+a scratch dir, then Block-Max-pruned distributed search). Both text
+configs are oracle-checked: ``simple`` tokenization is a regexp, and the
+``english`` Snowball path stems in SQL via the chained-CTE Porter2 of
+``functions.stemmer_sql`` (validated against the engine's stemmer).
 """
 
 from __future__ import annotations
@@ -146,9 +147,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy(F.desc("n_docs"), F.asc("facet")))
     q["bm25_facets"] = _facets
 
-    # english config (Snowball stemmer + stopwords — not SQL-expressible,
-    # so no DuckDB oracle: driver records the weaker rows-only check; the
-    # stemming contract is pytest-validated against reference vectors)
+    # english config (Snowball stemmer + stopwords) — oracle-checked: the
+    # DuckDB twin stems with the chained-CTE Porter2 of
+    # functions.stemmer_sql, validated token-for-token vs the engine's
+    # Python stemmer (tests/test_stemmer_sql.py)
     def _english(s, d):
         key = "english:" + os.path.abspath(d)
         idx = _INDEX_CACHE.get(key)
@@ -181,11 +183,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_embed_pairs"] = lambda s, d: dedup.embedding_dup_pairs(
         _embs(s, d), threshold=0.45)
 
+    # --- dedup scale paths (hot-key capped / banded candidate generation) ---
+    q["dedup_ngram_capped"] = lambda s, d: dedup.ngram_jaccard_pairs(
+        _docs(s, d), threshold=0.2, max_shingle_df=5)
+    q["dedup_simhash_pairs"] = lambda s, d: dedup.simhash_pairs(
+        _docs(s, d), max_hamming=3)
+    # 16 bands x 4 sign bits: band-collision prob per bit ~0.65 at cos 0.45,
+    # so 16 narrow bands keep recall ~0.95 at this loose threshold (the
+    # 8x8 default is tuned for the usual >=0.9 dedup threshold)
+    q["dedup_embed_blocked"] = lambda s, d: dedup.embedding_dup_pairs_blocked(
+        _embs(s, d), threshold=0.45, n_bands=16, band_bits=4)
+
     # --- similarity search ---
     q["ann_cosine_topk"] = lambda s, d: similarity.cosine_topk(
         _embs(s, d), ANN_QUERY_IDS, k=5)
     q["ann_ivf_topk"] = lambda s, d: similarity.ivf_topk(
-        _embs(s, d), ANN_QUERY_IDS, k=5)
+        _embs(s, d), ANN_QUERY_IDS, k=5, n_iters=2, dim=EMB_DIM)
 
     # --- multimodal plumbing ---
     q["multimodal_features"] = lambda s, d: multimodal.extract_features(
@@ -212,6 +225,8 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_prefiltered"] = bm25_oracle.bm25_oracle_sql(
         Q_ALL, table="(SELECT * FROM documents WHERE lang = 'es')", k=10)
     o["bm25_facets"] = bm25_oracle.facet_oracle_sql(Q_MULTI, k=50)
+    o["bm25_topk_english"] = bm25_oracle.bm25_oracle_sql(
+        "merging windows", k=10, opts=ENGLISH_OPTS)
 
     o["text_token_count"] = textstats.token_counts_oracle_sql()
     o["text_quality"] = textstats.quality_scores_oracle_sql()
@@ -226,10 +241,16 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_embed_pairs"] = dedup.embedding_dup_pairs_oracle_sql(
         threshold=0.45, dim=EMB_DIM)
 
+    o["dedup_ngram_capped"] = dedup.ngram_jaccard_pairs_oracle_sql(
+        threshold=0.2, max_shingle_df=5)
+    o["dedup_simhash_pairs"] = dedup.simhash_pairs_oracle_sql(max_hamming=3)
+    o["dedup_embed_blocked"] = dedup.embedding_dup_pairs_blocked_oracle_sql(
+        threshold=0.45, dim=EMB_DIM, n_bands=16, band_bits=4)
+
     o["ann_cosine_topk"] = similarity.cosine_topk_oracle_sql(
         ANN_QUERY_IDS, k=5, dim=EMB_DIM)
     o["ann_ivf_topk"] = similarity.ivf_topk_oracle_sql(
-        ANN_QUERY_IDS, k=5, dim=EMB_DIM)
+        ANN_QUERY_IDS, k=5, dim=EMB_DIM, n_iters=2)
 
     o["multimodal_features"] = multimodal.extract_features_oracle_sql()
     return o

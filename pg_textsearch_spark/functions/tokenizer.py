@@ -140,6 +140,17 @@ def tokenize_query(query: str, config: str = "english") -> list[tuple[str, int]]
     return list(zip(terms, tfs))
 
 
+def parse_tpquery(s: str) -> tuple[str | None, str]:
+    """Parse the reference's colon query-constructor syntax
+    (``'index_name:query text'`` — src/types/query.c:194-225): a colon not
+    at position 0 splits the string into (index_name, query); otherwise the
+    whole string is the query with no index binding."""
+    colon = s.find(":")
+    if colon > 0:
+        return s[:colon], s[colon + 1:]
+    return None, s
+
+
 def sql_token_expr(text_col: str) -> str:
     """DuckDB/ANSI expression producing this tokenizer's token list for the
     ``simple`` config — used to build oracle SQL that shares the tokenizer

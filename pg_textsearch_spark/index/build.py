@@ -131,6 +131,16 @@ def make_packer(index_path: str, seg_ids: dict[int, str], opts: Bm25Options,
             st["resumed"] = True
             return pd.DataFrame([st])[list(PACK_STATS_SCHEMA.names)]
 
+        # duplicate doc ids (repeated natural keys or an xxhash64
+        # collision) would silently inflate num_docs/total_len and
+        # double-count scores — fail loudly instead
+        dup = pdf["doc_id"].duplicated()
+        if dup.any():
+            bad = pdf["doc_id"][dup].iloc[0]
+            raise ValueError(
+                f"duplicate doc_id {bad} in segment {seg_id}: source has "
+                "repeated ids/natural keys (dedupe the input, or pass a "
+                "unique id_col)")
         # input is ONE array-packed row per doc (doc_term_arrays);
         # re-flatten to postings at C speed with repeat/concatenate
         docs = (pdf[["doc_id", "doc_len", "fieldnorm"] + doc_cols]
@@ -183,6 +193,38 @@ def make_packer(index_path: str, seg_ids: dict[int, str], opts: Bm25Options,
     return pack
 
 
+# name -> index registry backing the reference's colon query-constructor
+# syntax ('index_name:query', src/types/query.c:194-225 — resolves the
+# index by name the way tpquery_in resolves a relation OID)
+_NAMED_INDEXES: dict[str, "Bm25Index"] = {}
+
+
+def register_index(name: str, index: "Bm25Index") -> None:
+    _NAMED_INDEXES[name] = index
+
+
+def search_tpquery(s: str, default_index: "Bm25Index | None" = None,
+                   k: int | None | str = 10, mode: str = "or",
+                   round_to: int = 4) -> DataFrame:
+    """Search with the reference's ``'index_name:query'`` constructor
+    string. A name-prefixed string resolves against the registry (indexes
+    auto-register under their directory basename; ``register_index`` adds
+    aliases); an unprefixed string requires ``default_index``."""
+    from ..functions.tokenizer import parse_tpquery
+    name, query = parse_tpquery(s)
+    if name is not None:
+        idx = _NAMED_INDEXES.get(name)
+        if idx is None:
+            raise KeyError(f"no index registered under name {name!r}")
+    else:
+        idx = default_index
+        if idx is None:
+            raise ValueError(
+                "query string has no 'index:' prefix and no default_index "
+                "was given")
+    return idx.search(query, k=k, mode=mode, round_to=round_to)
+
+
 class Bm25Index:
     """Public index API (reference SQL surface, SURVEY.md §2.4)."""
 
@@ -190,6 +232,7 @@ class Bm25Index:
         self.spark = spark
         self.path = path
         self.manifest = Manifest.load(path)
+        register_index(os.path.basename(os.path.normpath(path)), self)
 
     # -- build (CREATE INDEX ... USING bm25) --------------------------------
     @classmethod
@@ -350,6 +393,13 @@ class Bm25Index:
         from .query import term_stats
         return term_stats(self, terms)
 
+    def search_profiled(self, query: str, k: int | None | str = 10,
+                        mode: str = "or", round_to: int = 4):
+        """Eager search returning (pandas top-k, BMW stats) — the
+        reference's ``log_bmw_stats`` observability analogue."""
+        from .query import search_profiled
+        return search_profiled(self, query, k=k, mode=mode, round_to=round_to)
+
     def force_merge(self):
         from .merge import force_merge_all
         return force_merge_all(self)
@@ -357,6 +407,15 @@ class Bm25Index:
     def compact(self) -> int:
         from .merge import compact_tiered
         return compact_tiered(self)
+
+    def flush(self) -> int:
+        """``bm25_spill_index`` analogue (reference
+        sql/pg_textsearch--1.4.0-dev.sql + src/mod.c memtable spill): every
+        ``append`` already lands as a durable L0 segment (the sanctioned
+        micro-batch mapping, SURVEY.md §2.2 B11), so flush = run tiered
+        compaction over whatever L0 has accumulated. Returns the number of
+        merges performed."""
+        return self.compact()
 
     def append(self, docs: DataFrame, text_col: str, id_col: str) -> None:
         from ..streaming.append import append_batch

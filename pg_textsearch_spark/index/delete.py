@@ -18,9 +18,13 @@ Spark-native equivalent is a *tombstone sidecar*:
   (M5/M6 page reclamation).
 
 Scale note: tombstones stay distributed (a DataFrame anti-join) on the
-merge path; the query path broadcasts only the ids overlapping each
-segment's doc-id range (sorted array + ``searchsorted`` slicing), which is
-the Spark analogue of the reference's per-segment bitset locality.
+merge path. The query path ships only the ids overlapping live segments'
+doc-id ranges: :func:`deletes_by_segment` slices the sorted id array per
+segment using the manifest's ``min_doc_id``/``max_doc_id`` (ids outside
+every range are dropped on the driver), and :func:`tombstone_broadcast`
+ships the per-segment dict ONCE per executor as a Spark torrent broadcast
+— never inside per-task closures. This is the Spark analogue of the
+reference's per-segment bitset locality (src/segment/alive_bitset.c).
 """
 
 from __future__ import annotations
@@ -45,9 +49,17 @@ def delete_docs(index, doc_ids) -> int:
     DataFrame with a ``doc_id`` column. Returns the number recorded."""
     path = _deletes_path(index)
     if isinstance(doc_ids, DataFrame):
-        df = doc_ids.select(F.col("doc_id").cast("long"))
-        df.write.mode("append").parquet(path)
-        return df.count()
+        # materialize the deduped ids ONCE so the written rows and the
+        # returned count come from the same data even for a
+        # nondeterministic source
+        df = doc_ids.select(F.col("doc_id").cast("long")).distinct().persist()
+        try:
+            n = df.count()
+            if n:
+                df.write.mode("append").parquet(path)
+        finally:
+            df.unpersist()
+        return n
     ids = [int(i) for i in doc_ids]
     if not ids:
         return 0
@@ -71,6 +83,44 @@ def load_deletes(index) -> np.ndarray:
     import pyarrow.dataset as ds
     arr = ds.dataset(path).to_table(columns=["doc_id"])["doc_id"].to_numpy()
     return np.unique(arr.astype(np.int64))
+
+
+def deletes_by_segment(index) -> dict[str, np.ndarray] | None:
+    """Slice the sorted tombstone ids to each live segment's
+    [min_doc_id, max_doc_id] range. Ids outside every segment's range are
+    dropped here on the driver — nothing dead-in-no-segment ever ships."""
+    arr = load_deletes(index)
+    if not arr.size:
+        return None
+    out: dict[str, np.ndarray] = {}
+    for s in index.manifest.segments:
+        lo = np.searchsorted(arr, s.min_doc_id, side="left")
+        hi = np.searchsorted(arr, s.max_doc_id, side="right")
+        if hi > lo:
+            out[s.segment_id] = arr[lo:hi]
+    return out or None
+
+
+def tombstone_broadcast(index):
+    """Per-segment tombstone dict as a cached Spark broadcast (shipped once
+    per executor via torrent broadcast, NOT serialized into every task).
+    Returns None when there are no tombstones. Cache key = deletes file
+    listing + manifest version, so appends/merges/deletes invalidate it."""
+    path = _deletes_path(index)
+    files = tuple(sorted(os.listdir(path))) if os.path.isdir(path) else ()
+    ver = (files, index.manifest.updated_at)
+    cached = getattr(index, "_tomb_bc", None)
+    if cached is not None and cached[0] == ver:
+        return cached[1]
+    if cached is not None and cached[1] is not None:
+        try:
+            cached[1].unpersist()
+        except Exception:
+            pass
+    m = deletes_by_segment(index)
+    bc = index.spark.sparkContext.broadcast(m) if m else None
+    index._tomb_bc = (ver, bc)
+    return bc
 
 
 def deletes_df(index) -> DataFrame | None:

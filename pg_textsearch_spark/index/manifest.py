@@ -31,6 +31,10 @@ from ..config import Bm25Options
 MANIFEST_NAME = "manifest.json"
 SEG_MARKER = "_SEG_SUCCESS.json"
 TOKENIZER_VERSION = 1
+# v2: global docs/ docmap removed; per-segment docmaps carry
+# content_sha256 + source metadata. v1 indexes lack those columns, so
+# load refuses them (the reference's index-version gate on the metapage).
+FORMAT_VERSION = 2
 
 
 @dataclass
@@ -106,7 +110,7 @@ class Manifest:
     # -- persistence --------------------------------------------------------
     def to_dict(self) -> dict:
         return {
-            "format_version": 1,
+            "format_version": FORMAT_VERSION,
             "tokenizer_version": TOKENIZER_VERSION,
             "options": self.opts.to_dict(),
             "created_at": self.created_at,
@@ -134,6 +138,11 @@ class Manifest:
     def load(cls, path: str) -> "Manifest":
         with open(os.path.join(path, MANIFEST_NAME)) as f:
             d = json.load(f)
+        ver = d.get("format_version", 0)
+        if ver != FORMAT_VERSION:
+            raise ValueError(
+                f"index at {path} has format_version {ver}; this engine "
+                f"reads version {FORMAT_VERSION} — rebuild the index")
         m = cls(path, Bm25Options.from_dict(d["options"]))
         m.created_at = d["created_at"]
         m.updated_at = d["updated_at"]

@@ -39,19 +39,23 @@ from .manifest import SEG_MARKER, SegmentRecord
 from .segment import decode_positions, decode_row, pack_postings_frame
 
 def _merge_group_packer(opts: Bm25Options, seg_id: str, n_salts: int,
-                        deleted: np.ndarray | None):
+                        deleted_bc):
     """applyInPandas body for one (term, salt) group of PACKED shard rows:
     decode each input row (vectorized), drop tombstoned docs, concatenate,
     re-sort by doc_id, re-pack. The shuffle moves compressed shard rows —
     never per-posting rows — so merge shuffle volume ≈ index size, not
-    postings count."""
+    postings count. Tombstones arrive via a Spark broadcast (once per
+    executor), not inside the task closure."""
     block_size = opts.block_size
     with_pos = opts.store_positions
 
     def pack_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
         term, salt = key[0], int(key[1])
+        deleted = None
+        if deleted_bc is not None:
+            deleted = getattr(deleted_bc, "value", deleted_bc)
         ids_l, tfs_l, norms_l, pos_l = [], [], [], []
-        for _, r in pdf.iterrows():
+        for r in pdf.to_dict("records"):
             ids, tfs, norms = decode_row(r, block_size)
             if deleted is not None and deleted.size and ids.size:
                 p = np.searchsorted(deleted, ids)
@@ -120,6 +124,8 @@ def merge_segments(index, seg_records: list[SegmentRecord], out_level: int,
     # block decode — shard rows stay packed through the shuffle
     from .delete import load_deletes
     deleted = load_deletes(index)
+    deleted_bc = (spark.sparkContext.broadcast(deleted)
+                  if deleted.size else None)
     deleted = deleted if deleted.size else None
 
     # SALTED REPARTITIONING: shuffle by (term, doc-range salt of the shard
@@ -132,7 +138,7 @@ def merge_segments(index, seg_records: list[SegmentRecord], out_level: int,
                 F.floor((F.col("min_doc_id").cast("double") - float(lo))
                         / float(salt_span)).cast("int")))
 
-    pack_group = _merge_group_packer(opts, seg_id, n_salts, deleted)
+    pack_group = _merge_group_packer(opts, seg_id, n_salts, deleted_bc)
 
     from .build import PACK_STATS_SCHEMA, _postings_arrow_schema  # schema reuse
     spark_schema = ("segment_id string, term string, shard long, "
@@ -153,6 +159,8 @@ def merge_segments(index, seg_records: list[SegmentRecord], out_level: int,
         dels = deletes_df(index)
         docs = docs.join(dels, "doc_id", "left_anti")
     docs.write.mode("overwrite").parquet(os.path.join(seg_dir, "docs"))
+    if deleted_bc is not None:
+        deleted_bc.unpersist()
 
     # stats for the manifest record
     st = spark.read.parquet(os.path.join(seg_dir, "postings")).agg(

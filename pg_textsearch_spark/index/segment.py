@@ -330,6 +330,45 @@ def decode_row(row: dict | pd.Series, block_size: int = BLOCK_SIZE):
     return ids, tfs, norms
 
 
+def decode_row_blocks(row: dict | pd.Series, block_idx: np.ndarray):
+    """Random-access decode of selected blocks of one shard row.
+
+    ``block_idx``: sorted unique block indices. Returns (doc_ids, tfs,
+    norms) for exactly those blocks' postings. Consecutive runs of blocks
+    are decoded with ONE varbyte call each (the skip entries' byte offsets
+    give random access; block-leading deltas are stored absolute) — this is
+    the engine's analogue of the reference's skip-pointer block seek
+    (src/segment/format.h:230-239, src/segment/scan.c:448-500).
+    """
+    block_idx = np.asarray(block_idx, dtype=np.int64)
+    counts = np.asarray(row["skip_doc_count"], dtype=np.int64)
+    doc_off = np.asarray(row["skip_doc_off"], dtype=np.int64)
+    tf_off = np.asarray(row["skip_tf_off"], dtype=np.int64)
+    post_start = np.cumsum(np.r_[np.int64(0), counts])
+    nrm_all = np.frombuffer(row["norms_bin"], dtype=np.uint8)
+    dbin, tbin = row["doc_ids_bin"], row["tfs_bin"]
+
+    # split into consecutive runs: one varbyte decode per run
+    cut = np.flatnonzero(np.diff(block_idx) != 1) + 1
+    runs = np.split(block_idx, cut)
+    ids_l, tfs_l, norms_l = [], [], []
+    for run in runs:
+        a, b = int(run[0]), int(run[-1])
+        n_run = int(post_start[b + 1] - post_start[a])
+        deltas = varbyte_decode(dbin, offset=int(doc_off[a]), count=n_run)
+        g = np.cumsum(deltas.astype(np.int64))
+        # block-leading deltas are absolute: subtract each block's carried
+        # prefix (same trick as decode_positions)
+        local_starts = post_start[a:b + 1] - post_start[a]
+        prefix = np.r_[np.int64(0), g[local_starts[1:] - 1]]
+        ids_l.append(g - np.repeat(prefix, counts[a:b + 1]))
+        tfs_l.append(varbyte_decode(tbin, offset=int(tf_off[a]),
+                                    count=n_run).astype(np.int64))
+        norms_l.append(nrm_all[post_start[a]:post_start[b + 1]].astype(np.int64))
+    return (np.concatenate(ids_l), np.concatenate(tfs_l),
+            np.concatenate(norms_l))
+
+
 def decode_positions(row: dict | pd.Series):
     """Decode the positions sidecar -> list of int64 arrays per posting."""
     if row["pos_counts_bin"] is None:

@@ -108,15 +108,30 @@ shing AS (
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2,
                         text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        max_shingle_df: int | None = None) -> DataFrame:
     """Near-dup pairs with word-3-gram Jaccard >= threshold via the
     inverted-index self-join: explode shingles, join docs sharing a shingle
-    (the only shuffle is keyed by shingle — at scale, cap hot shingles by
-    df like the BM25 index salts hot terms), count shared, Jaccard from the
-    per-doc distinct counts."""
+    (the only shuffle is keyed by shingle), count shared, Jaccard from the
+    per-doc distinct counts.
+
+    ``max_shingle_df`` is the 100 TB guard: shingles appearing in more than
+    this many docs are dropped from the JOIN KEY (the hot-key cap — one
+    shingle shared by 10^6 docs would otherwise emit 10^12 join rows, the
+    same reason the BM25 index shards mega-terms). The hot set is tiny by
+    definition, so the cap is a broadcast anti-join = a map-side filter.
+    Shared counts (numerator) then undercount by the dropped shingles while
+    denominators keep the full sizes, so capped Jaccard is a LOWER bound —
+    recall loss only on pairs whose overlap is mostly ultra-common
+    boilerplate. ``None`` (default) disables the cap: the exact oracle
+    baseline."""
     sh = _shingle_frame(docs, text_col, id_col)
     sizes = sh.select("doc_id", F.size("shingles").cast("long").alias("n_sh"))
     ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    if max_shingle_df is not None:
+        hot = (ex.groupBy("shingle").agg(F.count("*").alias("df"))
+               .filter(F.col("df") > max_shingle_df).select("shingle"))
+        ex = ex.join(F.broadcast(hot), "shingle", "left_anti")
     pairs = (ex.alias("a").join(ex.alias("b"), "shingle")
              .filter(F.col("a.doc_id") < F.col("b.doc_id"))
              .groupBy(F.col("a.doc_id").alias("doc_a"),
@@ -139,10 +154,19 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2,
 def ngram_jaccard_pairs_oracle_sql(threshold: float = 0.2,
                                    table: str = "documents",
                                    text_col: str = "text",
-                                   id_col: str = "doc_id") -> str:
+                                   id_col: str = "doc_id",
+                                   max_shingle_df: int | None = None) -> str:
+    cap_cte = ""
+    if max_shingle_df is not None:
+        cap_cte = f"""
+exall AS (SELECT doc_id, unnest(shingles) AS shingle FROM shing),
+hot AS (SELECT shingle FROM exall GROUP BY shingle
+        HAVING count(*) > {max_shingle_df}),
+ex AS (SELECT * FROM exall WHERE shingle NOT IN (SELECT shingle FROM hot)),"""
+    else:
+        cap_cte = "\nex AS (SELECT doc_id, unnest(shingles) AS shingle FROM shing),"
     return f"""
-WITH {_shingle_base_sql(table, text_col, id_col)},
-ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM shing),
+WITH {_shingle_base_sql(table, text_col, id_col)},{cap_cte}
 sizes AS (SELECT doc_id, len(shingles)::BIGINT AS n_sh FROM shing),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS shared
@@ -325,6 +349,67 @@ FROM bits GROUP BY doc_id ORDER BY doc_id
 """
 
 
+SIMHASH_BANDS = 4   # 4 bytes: hamming <= 3 pairs share >= 1 exact band
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, generated WITHOUT an
+    all-pairs comparison: split the 32-bit fingerprint into 4 exact-match
+    bands of 8 bits (pigeonhole: any pair with hamming <= 3 differs in at
+    most 3 bands, so shares at least one), self-join on (band, value) —
+    the only shuffle key, bucket sizes bound the fanout — then verify the
+    true distance with bit_count(xor). Returns (doc_a, doc_b, hamming)."""
+    if max_hamming >= SIMHASH_BANDS:
+        raise ValueError("banding guarantees recall only for "
+                         f"max_hamming < {SIMHASH_BANDS}")
+    sig = simhash(docs, text_col, id_col).persist()
+    bands = sig.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.shiftright(F.col("simhash"), i * 8)
+                     .bitwiseAND(F.lit(255)).alias("bval"))
+            for i in range(SIMHASH_BANDS)])).alias("bb")) \
+        .select("doc_id", "simhash", F.col("bb.band").alias("band"),
+                F.col("bb.bval").alias("bval"))
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash")).cast("long"))
+    return (a.join(b, ["band", "bval"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    ham.cast("long").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct()
+            .orderBy("doc_a", "doc_b"))
+
+
+def simhash_pairs_oracle_sql(max_hamming: int = 3, table: str = "documents",
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> str:
+    inner = simhash_oracle_sql(table, text_col, id_col).strip()
+    band_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, simhash, {i} AS band, "
+        f"(simhash >> {i * 8}) & 255 AS bval FROM sig"
+        for i in range(SIMHASH_BANDS))
+    return f"""
+WITH sig AS (
+{inner}
+),
+bands AS (
+  {band_rows}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY doc_a, doc_b
+"""
+
+
 # -------------------------------------------- embedding cosine near-dups
 
 def embedding_dup_pairs(embs: DataFrame, threshold: float = 0.9,
@@ -340,10 +425,18 @@ def embedding_dup_pairs(embs: DataFrame, threshold: float = 0.9,
                        _norm_col(v).alias("nrm"))
     # the `<` theta-join is a nested-loop join: broadcast one side, spread
     # the stream side across tasks (a single parquet file would otherwise
-    # serialize the whole O(n^2) pass into one partition)
+    # serialize the whole O(n^2) pass into one partition). Broadcast only
+    # while the vector payload plausibly fits (driver memory / Spark's 8 GB
+    # broadcast ceiling); beyond that fall back to the repartitioned
+    # non-broadcast nested-loop plan.
     par = max(embs.sparkSession.sparkContext.defaultParallelism, 8)
     a = base.repartition(par, "vec_id").alias("a")
-    b = F.broadcast(base).alias("b")
+    n_rows = embs.count()
+    dim = len(embs.select(vec_col).first()[0]) if n_rows else 0
+    if n_rows * max(dim, 1) * 8 <= 512 * 1024 * 1024:
+        b = F.broadcast(base).alias("b")
+    else:
+        b = base.repartition(par).alias("b")
     cos = _dot_col(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
             .select(F.col("a.vec_id").alias("vec_a"),
@@ -351,6 +444,96 @@ def embedding_dup_pairs(embs: DataFrame, threshold: float = 0.9,
                     F.round(cos, 4).alias("cos"))
             .filter(F.col("cos") >= threshold)
             .orderBy("vec_a", "vec_b"))
+
+
+EMB_BANDS = 8       # 64-dim vectors -> 8 bands of 8 sign bits
+EMB_BAND_BITS = 8
+
+
+def _sign_band_col(j: int, band_bits: int = EMB_BAND_BITS):
+    """Band value j: pack the sign bits of dims [j*bits, (j+1)*bits) into an
+    int. Pure comparisons + integer adds — bit-identical in DuckDB."""
+    bits = [F.when(F.col("v").getItem(j * band_bits + i) >= 0,
+                   F.lit(1 << i)).otherwise(F.lit(0))
+            for i in range(band_bits)]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def _sign_band_sql(j: int, band_bits: int = EMB_BAND_BITS) -> str:
+    return " + ".join(
+        f"(CASE WHEN v[{j * band_bits + i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(band_bits))
+
+
+def embedding_dup_pairs_blocked(embs: DataFrame, threshold: float = 0.9,
+                                vec_col: str = "embedding",
+                                id_col: str = "vec_id",
+                                n_bands: int = EMB_BANDS,
+                                band_bits: int = EMB_BAND_BITS) -> DataFrame:
+    """Embedding near-dup pairs WITHOUT the n^2 theta-join — the 100 TB
+    path. Random-hyperplane (sign-bit) LSH: each vector's signature is the
+    sign pattern of its coordinates, split into ``n_bands`` exact-match
+    bands of ``band_bits`` bits; candidate pairs share at least one band
+    (the only shuffle key — bucket sizes bound the join fanout), then the
+    exact cosine is verified. High-cosine pairs agree on most signs, so
+    recall decays smoothly with the threshold; vs the exact baseline this
+    is a candidate-generation recall trade-off, measured in
+    tests/test_round2_features.py. Same output schema as
+    ``embedding_dup_pairs`` so the two are directly comparable."""
+    v = F.col(vec_col).cast("array<double>")
+    base = embs.select(F.col(id_col).alias("vec_id"), v.alias("v"),
+                       _norm_col(v).alias("nrm"))
+    bands = base.select(
+        "vec_id", "v", "nrm",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("band"),
+                     _sign_band_col(j, band_bits).alias("bval"))
+            for j in range(n_bands)])).alias("bb")) \
+        .select("vec_id", "v", "nrm", F.col("bb.band").alias("band"),
+                F.col("bb.bval").alias("bval"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cos = _dot_col(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (a.join(b, ["band", "bval"])
+            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"),
+                    F.round(cos, 4).alias("cos"))
+            .filter(F.col("cos") >= threshold)
+            .distinct()
+            .orderBy("vec_a", "vec_b"))
+
+
+def embedding_dup_pairs_blocked_oracle_sql(threshold: float = 0.9,
+                                           dim: int = 64,
+                                           table: str = "embeddings",
+                                           vec_col: str = "embedding",
+                                           id_col: str = "vec_id",
+                                           n_bands: int = EMB_BANDS,
+                                           band_bits: int = EMB_BAND_BITS) -> str:
+    band_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, v, nrm, {j} AS band, "
+        f"{_sign_band_sql(j, band_bits)} AS bval FROM base"
+        for j in range(n_bands))
+    dot = DOT_SQL.format(dim=dim, a="a.v", b="b.v")
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS v,
+         {NORM_SQL.format(a=f"{vec_col}::DOUBLE[]")} AS nrm
+  FROM {table}
+),
+bands AS (
+  {band_rows}
+)
+SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({dot} / (a.nrm * b.nrm), 4) AS cos
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id
+WHERE ROUND({dot} / (a.nrm * b.nrm), 4) >= {threshold}
+ORDER BY vec_a, vec_b
+"""
 
 
 def _dot_col(a, b):

@@ -4,9 +4,12 @@
   baseline; a broadcast join of the tiny query set against the corpus, one
   window for per-query ranking — at scale the corpus side stays partitioned,
   queries broadcast, ranking is a per-partition local top-k + global merge).
-- ``ivf_topk``     — IVF-style bucketed ANN: deterministic "training" picks
-  the first ``n_centroids`` vectors as centroids, every corpus vector is
-  assigned to its nearest centroid (one broadcast join), queries probe the
+- ``ivf_topk``     — IVF-bucketed ANN: centroids seeded deterministically
+  (first ``n_centroids`` vec_ids) then refined with ``n_iters`` Lloyd
+  iterations (assign → per-dimension mean, rounded to 6dp so engine and
+  oracle stay bit-identical despite summation order); every corpus vector
+  is assigned to its nearest centroid (one broadcast join + map-side
+  combinable argmax, no per-vector window shuffle), queries probe the
   ``nprobe`` nearest centroids and search only those buckets. This is the
   scale path: the probe join touches ~nprobe/n_centroids of the corpus and
   the bucket assignment is a pre-computed partition key.
@@ -28,6 +31,79 @@ def _with_norm(embs: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     v = F.col(vec_col).cast("array<double>")
     return embs.select(F.col(id_col).alias("vec_id"), v.alias("v"),
                        _norm_col(v).alias("nrm"))
+
+
+def _assign(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the (tiny) centroid table and
+    take the per-vector argmax with max_by — a map-side-combinable
+    aggregation, NOT a per-vector window (no n*k-row shuffle). Ties break
+    cent_id ASC via the (ccos, -cent_id) ordering struct."""
+    ccos = _dot_col(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    return (base.crossJoin(F.broadcast(cents))
+            .select("vec_id", "v", "nrm", "cent_id", ccos.alias("ccos"))
+            .groupBy("vec_id")
+            .agg(F.max_by("cent_id",
+                          F.struct(F.col("ccos"), (-F.col("cent_id"))
+                                   .alias("neg"))).alias("cent_id"),
+                 F.first("v").alias("v"), F.first("nrm").alias("nrm")))
+
+
+def ivf_centroids(base: DataFrame, n_centroids: int, n_iters: int,
+                  dim: int) -> DataFrame:
+    """Deterministic IVF training: seed with the lowest ``n_centroids``
+    vec_ids, then ``n_iters`` Lloyd iterations. The update step is a
+    per-dimension AVG (64 codegen'd aggregates — no explode), rounded to
+    6dp so the result is independent of partition summation order; empty
+    clusters keep their previous centroid."""
+    cents = (base.orderBy("vec_id").limit(n_centroids)
+             .select(F.col("vec_id").alias("cent_id"),
+                     F.col("v").alias("cv"), F.col("nrm").alias("cn")))
+    for _ in range(n_iters):
+        assigned = _assign(base, cents)
+        means = assigned.groupBy("cent_id").agg(
+            *[F.round(F.avg(F.col("v").getItem(i)), 6).alias(f"m{i}")
+              for i in range(dim)])
+        newc = means.select(
+            "cent_id",
+            F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("ncv"))
+        newc = newc.withColumn("ncn", _norm_col(F.col("ncv")))
+        cents = (cents.join(newc, "cent_id", "left")
+                 .select("cent_id",
+                         F.coalesce(F.col("ncv"), F.col("cv")).alias("cv"),
+                         F.coalesce(F.col("ncn"), F.col("cn")).alias("cn")))
+    return cents
+
+
+def ivf_centroids_sql(n_centroids: int, n_iters: int, dim: int) -> str:
+    """CTE chain (appended after a ``base(vec_id, v, nrm)`` CTE) ending in
+    ``cents(cent_id, cv, cn)`` — the exact SQL twin of ivf_centroids."""
+    parts = [f"""cents0 AS (
+  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM base
+  ORDER BY vec_id LIMIT {n_centroids}
+)"""]
+    prev = "cents0"
+    for it in range(1, n_iters + 1):
+        avg_list = ", ".join(f"ROUND(AVG(v[{i + 1}]), 6)" for i in range(dim))
+        parts.append(f"""asg{it} AS (
+  SELECT vec_id, v, cent_id FROM (
+    SELECT b.vec_id, b.v, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+             ORDER BY {DOT_SQL.format(dim=dim, a='b.v', b='c.cv')} / (b.nrm * c.cn) DESC,
+                      c.cent_id ASC) AS rn
+    FROM base b, {prev} c)
+  WHERE rn = 1
+),
+mean{it} AS (
+  SELECT cent_id, [{avg_list}] AS ncv FROM asg{it} GROUP BY cent_id
+),
+cents{it} AS (
+  SELECT c.cent_id, COALESCE(m.ncv, c.cv) AS cv,
+         COALESCE({NORM_SQL.format(a='m.ncv')}, c.cn) AS cn
+  FROM {prev} c LEFT JOIN mean{it} m ON m.cent_id = c.cent_id
+)""")
+        prev = f"cents{it}"
+    parts.append(f"cents AS (SELECT * FROM {prev})")
+    return ",\n".join(parts)
 
 
 def cosine_topk(embs: DataFrame, query_ids: list[int], k: int = 5,
@@ -82,25 +158,20 @@ ORDER BY query_id, rank
 
 
 def ivf_topk(embs: DataFrame, query_ids: list[int], k: int = 5,
-             n_centroids: int = 16, nprobe: int = 2,
+             n_centroids: int = 16, nprobe: int = 2, n_iters: int = 2,
+             dim: int | None = None,
              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """IVF-bucketed ANN. Deterministic centroids (lowest ``n_centroids``
-    vec_ids) stand in for k-means training; assignment and probing are
-    cosine-nearest with vec_id/centroid-id tie-breaks. Results are
-    approximate vs ``cosine_topk`` exactly when a true neighbor lives in an
-    unprobed bucket — the classic IVF recall trade-off."""
+    """IVF-bucketed ANN. Centroids are Lloyd-trained (``ivf_centroids``,
+    ``n_iters`` deterministic iterations from a vec_id-ordered seed);
+    assignment and probing are cosine-nearest with vec_id/centroid-id
+    tie-breaks. Results are approximate vs ``cosine_topk`` exactly when a
+    true neighbor lives in an unprobed bucket — the classic IVF recall
+    trade-off."""
     base = _with_norm(embs, vec_col, id_col)
-    cents = (base.orderBy("vec_id").limit(n_centroids)
-             .select(F.col("vec_id").alias("cent_id"),
-                     F.col("v").alias("cv"), F.col("nrm").alias("cn")))
-    ccos = _dot_col(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
-    wassign = Window.partitionBy("vec_id").orderBy(
-        F.desc("ccos"), F.asc("cent_id"))
-    assigned = (base.crossJoin(F.broadcast(cents))
-                .select("vec_id", "v", "nrm", "cent_id", ccos.alias("ccos"))
-                .withColumn("rn", F.row_number().over(wassign))
-                .filter("rn = 1")
-                .select("vec_id", "v", "nrm", "cent_id"))
+    if n_iters > 0 and dim is None:
+        dim = len(embs.select(vec_col).first()[0])
+    cents = ivf_centroids(base, n_centroids, n_iters, dim or 0)
+    assigned = _assign(base, cents)
 
     queries = base.filter(F.col("vec_id").isin(query_ids)) \
                   .select(F.col("vec_id").alias("query_id"),
@@ -129,6 +200,7 @@ def ivf_topk(embs: DataFrame, query_ids: list[int], k: int = 5,
 
 def ivf_topk_oracle_sql(query_ids: list[int], k: int = 5,
                         n_centroids: int = 16, nprobe: int = 2, dim: int = 64,
+                        n_iters: int = 2,
                         table: str = "embeddings",
                         vec_col: str = "embedding",
                         id_col: str = "vec_id") -> str:
@@ -139,10 +211,7 @@ WITH base AS (
          {NORM_SQL.format(a=f"{vec_col}::DOUBLE[]")} AS nrm
   FROM {table}
 ),
-cents AS (
-  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM base
-  ORDER BY vec_id LIMIT {n_centroids}
-),
+{ivf_centroids_sql(n_centroids, n_iters, dim)},
 assigned AS (
   SELECT vec_id, v, nrm, cent_id FROM (
     SELECT b.vec_id, b.v, b.nrm, c.cent_id,

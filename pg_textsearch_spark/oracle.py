@@ -11,17 +11,57 @@ idf/tf formula, (score DESC, doc_id ASC) ordering — for OR / AND / phrase
 modes. The driver runs them in DuckDB against the same parquet and compares
 row counts, schemas and value hashes with the Spark engine's output.
 
-The ``english`` config needs a Snowball stemmer, which plain SQL lacks; those
-paths are validated by the in-repo pytest oracles instead (tests/).
+The ``english`` config (Snowball stemmer + stopwords) is ALSO
+SQL-expressible: ``functions.stemmer_sql`` emits a chained-CTE Porter2
+implementation validated token-for-token against the engine's Python
+stemmer, and the stopword list inlines as a ``NOT IN`` — so english-config
+searches are hash-checkable by the driver too.
 """
 
 from __future__ import annotations
 
 from .config import Bm25Options
 from .functions.fieldnorm import DECODE_TABLE
-from .functions.tokenizer import tokenize_query
+from .functions.stemmer_sql import stem_cte_sql
+from .functions.tokenizer import ENGLISH_STOPWORDS, tokenize_query
 
 TOKEN_SQL_PATTERN = "[a-z0-9_]+"
+
+
+def _tf_ctes(table: str, id_col: str, text_col: str, config: str) -> str:
+    """CTE block ending in ``tf(doc_id, term, tf)`` for the given config.
+
+    ``simple``: tokens are lexemes; tf caps at 256 per (doc, token).
+    ``english``: the per-WORD tf cap applies before stemming merges words
+    into one lexeme (engine ``_chunk_term_freqs`` order: cap, then merge),
+    stopwords drop before counting, and stemming runs once per DISTINCT
+    token through the Porter2 CTE chain."""
+    tok = f"""tok AS (
+  SELECT {id_col} AS doc_id,
+         unnest(regexp_extract_all(lower({text_col}), '{TOKEN_SQL_PATTERN}')) AS term
+  FROM {table}
+)"""
+    if config == "simple":
+        return tok + """,
+tf AS (
+  SELECT doc_id, term, LEAST(count(*), 256) AS tf
+  FROM tok GROUP BY doc_id, term
+)"""
+    stop = ", ".join(f"'{s}'" for s in sorted(ENGLISH_STOPWORDS))
+    return tok + f""",
+wtf AS (
+  SELECT doc_id, term, LEAST(count(*), 256) AS wtf
+  FROM tok
+  WHERE term NOT IN ({stop}) AND length(term) <= 2047
+  GROUP BY doc_id, term
+),
+toks AS (SELECT DISTINCT term FROM wtf),
+{stem_cte_sql("toks", "term")},
+tf AS (
+  SELECT w.doc_id, s.lexeme AS term, SUM(w.wtf)::BIGINT AS tf
+  FROM wtf w JOIN stems s ON s.term = w.term
+  GROUP BY 1, 2
+)"""
 
 
 def _fieldnorm_values(max_len: int = 100_000) -> str:
@@ -50,9 +90,12 @@ def bm25_oracle_sql(
     ``search``/``score_exhaustive`` output.
     """
     opts = opts or Bm25Options(text_config="simple")
-    if opts.text_config != "simple":
-        raise ValueError("SQL oracle only supports the 'simple' text config")
-    qterms = tokenize_query(query, "simple")
+    if opts.text_config not in ("simple", "english"):
+        raise ValueError("SQL oracle supports the 'simple' and 'english' "
+                         "text configs")
+    if mode == "phrase" and opts.text_config != "simple":
+        raise ValueError("phrase oracle requires the 'simple' config")
+    qterms = tokenize_query(query, opts.text_config)
     if not qterms:
         return f"SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score WHERE FALSE"
     k1, b = float(opts.k1), float(opts.b)
@@ -67,15 +110,7 @@ def bm25_oracle_sql(
         and_having = f"HAVING count(DISTINCT c.term) = {n_distinct}"
 
     sql = f"""
-WITH tok AS (
-  SELECT {id_col} AS doc_id,
-         unnest(regexp_extract_all(lower({text_col}), '{TOKEN_SQL_PATTERN}')) AS term
-  FROM {table}
-),
-tf AS (
-  SELECT doc_id, term, LEAST(count(*), 256) AS tf
-  FROM tok GROUP BY doc_id, term
-),
+WITH {_tf_ctes(table, id_col, text_col, opts.text_config)},
 dl AS (
   SELECT doc_id, SUM(tf) AS dl,
          (SELECT MAX(v) FROM (VALUES {_fieldnorm_values()}) AS fnorm(v)

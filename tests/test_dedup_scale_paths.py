@@ -1,0 +1,120 @@
+"""Scale-path dedup/ANN tests (round 2): hot-shingle capping, banded
+simhash pair generation, sign-LSH blocked embedding dedup, Lloyd-trained
+IVF. Each scale path is compared against its exact small-scale baseline —
+subset/lower-bound guarantees are asserted exactly, recall is measured."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_textsearch_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# ------------------------------------------------- capped n-gram Jaccard
+
+def test_capped_jaccard_is_lower_bound(spark):
+    """With a hot boilerplate shingle shared by every doc, the capped run
+    must (a) drop it from the join key, (b) never report a HIGHER jaccard
+    than the exact run, and (c) keep genuinely-overlapping pairs."""
+    boiler = "copyright acme corp"
+    # docs 2i/2i+1 share a pair-private phrase (df=2, survives the cap);
+    # the boilerplate prefix has df=20 and must be dropped
+    rows = [(i, f"{boiler} unique{i} body{i} shared topic phrase{i // 2} end")
+            for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(df, threshold=0.0).collect()}
+    capped = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+              for r in dedup.ngram_jaccard_pairs(
+                  df, threshold=0.0, max_shingle_df=5).collect()}
+    assert capped, "shared alpha-beta-gamma shingles must survive the cap"
+    assert set(capped) <= set(exact)
+    for pair, j in capped.items():
+        assert j <= exact[pair] + 1e-9
+
+
+def test_capped_jaccard_noop_when_no_hot_shingles(spark, docs):
+    small = docs.limit(120)
+    exact = dedup.ngram_jaccard_pairs(small, threshold=0.2).collect()
+    capped = dedup.ngram_jaccard_pairs(
+        small, threshold=0.2, max_shingle_df=10**6).collect()
+    assert sorted(map(tuple, exact)) == sorted(map(tuple, capped))
+
+
+# ------------------------------------------------------- simhash pairs
+
+def test_simhash_pairs_match_bruteforce(spark, docs):
+    """Pigeonhole banding (4 bands, hamming <= 3) is EXACT, not
+    approximate: the banded join must reproduce the full all-pairs set."""
+    small = docs.limit(150)
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in dedup.simhash(small).collect()}
+    ids = sorted(sigs)
+    want = {(a, b): bin(sigs[a] ^ sigs[b]).count("1")
+            for i, a in enumerate(ids) for b in ids[i + 1:]
+            if bin(sigs[a] ^ sigs[b]).count("1") <= 3}
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in dedup.simhash_pairs(small, max_hamming=3).collect()}
+    assert got == want
+
+
+def test_simhash_pairs_rejects_unsafe_hamming(spark, docs):
+    with pytest.raises(ValueError):
+        dedup.simhash_pairs(docs, max_hamming=dedup.SIMHASH_BANDS)
+
+
+# ------------------------------------------- blocked embedding dedup
+
+def test_embed_blocked_subset_and_recall(spark, embs):
+    exact = {(r["vec_a"], r["vec_b"]): r["cos"]
+             for r in dedup.embedding_dup_pairs(
+                 embs, threshold=0.45).collect()}
+    blocked = {(r["vec_a"], r["vec_b"]): r["cos"]
+               for r in dedup.embedding_dup_pairs_blocked(
+                   embs, threshold=0.45, n_bands=16, band_bits=4).collect()}
+    # candidate generation can only lose pairs, never invent or rescore
+    assert set(blocked) <= set(exact)
+    for pair, c in blocked.items():
+        assert c == exact[pair]
+    if exact:
+        recall = len(blocked) / len(exact)
+        assert recall >= 0.8, f"sign-LSH recall {recall:.2f} below floor"
+
+
+# --------------------------------------------------- IVF Lloyd training
+
+def test_ivf_centroids_deterministic_and_complete(spark, embs):
+    base = similarity._with_norm(embs, "embedding", "vec_id")
+    dim = len(embs.select("embedding").first()[0])
+    c1 = similarity.ivf_centroids(base, 8, 2, dim).collect()
+    c2 = similarity.ivf_centroids(base, 8, 2, dim).collect()
+    assert sorted(r["cent_id"] for r in c1) == sorted(
+        r["cent_id"] for r in c2)
+    assert len(c1) == 8
+    m1 = {r["cent_id"]: r["cv"] for r in c1}
+    m2 = {r["cent_id"]: r["cv"] for r in c2}
+    assert m1 == m2                      # 6dp rounding => bit-stable
+
+
+def test_ivf_lloyd_recall_vs_exact(spark, embs):
+    qids = [0, 1, 2, 3, 4]
+    exact = {(r["query_id"], r["vec_id"])
+             for r in similarity.cosine_topk(embs, qids, k=5).collect()}
+    dim = len(embs.select("embedding").first()[0])
+    ivf = {(r["query_id"], r["vec_id"])
+           for r in similarity.ivf_topk(
+               embs, qids, k=5, n_centroids=8, nprobe=4, n_iters=2,
+               dim=dim).collect()}
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.6, f"IVF recall {recall:.2f} below floor"
