@@ -32,13 +32,21 @@ from collections import Counter
 from collections.abc import Iterable
 
 from .stemmer import stem
+from .stemmer_intl import stem_french, stem_german, stem_spanish
+from .stopwords_intl import (FRENCH_STOPWORDS, GERMAN_STOPWORDS,
+                             SPANISH_STOPWORDS)
 
 __all__ = [
     "TOKEN_PATTERN", "MAX_WORD_LEN", "MAX_TF", "CHUNK_BYTES",
     "ENGLISH_STOPWORDS", "tokenize", "tokenize_query", "sql_token_expr",
+    "resolve_config",
 ]
 
 TOKEN_PATTERN = re.compile(r"[a-z0-9_]+")
+# fr/de/es documents need the accented Latin-1 letters (à-ÿ plus ß) as
+# word characters or stemming is meaningless; ASCII configs keep the
+# narrow SQL-oracle-friendly pattern above.
+TOKEN_PATTERN_LATIN1 = re.compile(r"[a-z0-9_ß-ÿ]+")
 MAX_WORD_LEN = 2047   # PG MAXSTRLEN: longer words are dropped
 MAX_TF = 256          # PG MAXNUMPOS: positions cap per lexeme per chunk
 CHUNK_BYTES = 256 * 1024
@@ -56,7 +64,27 @@ more most other some such no nor not only own same so than too very s t can
 will just don should now
 """.split())
 
-_CONFIGS = ("simple", "english")
+# config name -> (token pattern, stopwords | None, stemmer | None).
+# Stemmers are the published Snowball algorithms (PG's to_tsvector
+# contract); stopword lists are the Snowball-project lists PG ships.
+_CONFIGS = {
+    "simple": (TOKEN_PATTERN, None, None),
+    "english": (TOKEN_PATTERN, ENGLISH_STOPWORDS, stem),
+    "french": (TOKEN_PATTERN_LATIN1, FRENCH_STOPWORDS, stem_french),
+    "german": (TOKEN_PATTERN_LATIN1, GERMAN_STOPWORDS, stem_german),
+    "spanish": (TOKEN_PATTERN_LATIN1, SPANISH_STOPWORDS, stem_spanish),
+}
+
+
+def resolve_config(config: str) -> str:
+    """Accept PG qualified names ('pg_catalog.english' — reference
+    test/sql/text_config.sql) and validate."""
+    name = config.split(".", 1)[1] if config.startswith("pg_catalog.") \
+        else config
+    if name not in _CONFIGS:
+        raise ValueError(f"unknown text_config {config!r}; "
+                         f"supported: {tuple(_CONFIGS)}")
+    return name
 
 
 def _split_chunks(text: str) -> list[str]:
@@ -82,22 +110,24 @@ def _split_chunks(text: str) -> list[str]:
 
 def _chunk_term_freqs(chunk: str, config: str, stem_cache: dict[str, str | None]) -> Counter:
     """(lexeme -> tf) for one chunk; tf saturates at MAX_TF per chunk."""
-    raw = Counter(TOKEN_PATTERN.findall(chunk.lower()))
+    pattern, stopwords, stem_fn = _CONFIGS[config]
+    raw = Counter(pattern.findall(chunk.lower()))
     out: Counter = Counter()
-    for word, cnt in raw.items():
-        lex = stem_cache.get(word, "?") if config == "english" else word
-        if config == "english":
-            if lex == "?":
-                if len(word) > MAX_WORD_LEN:
-                    lex = None
-                elif word in ENGLISH_STOPWORDS:
-                    lex = None
-                else:
-                    lex = stem(word)
-                stem_cache[word] = lex
-            if lex is None:
+    if stem_fn is None:
+        for word, cnt in raw.items():
+            if len(word) > MAX_WORD_LEN:
                 continue
-        elif len(word) > MAX_WORD_LEN:
+            out[word] += min(cnt, MAX_TF)
+        return out
+    for word, cnt in raw.items():
+        lex = stem_cache.get(word, "?")
+        if lex == "?":
+            if len(word) > MAX_WORD_LEN or (stopwords and word in stopwords):
+                lex = None
+            else:
+                lex = stem_fn(word)
+            stem_cache[word] = lex
+        if lex is None:
             continue
         out[lex] += min(cnt, MAX_TF)
     return out
@@ -111,8 +141,7 @@ def tokenize(text: str | None, config: str = "english",
     (src/access/build.c:974-1059): chunk, per-chunk tokenize with the tf
     cap, then merge chunk frequencies by term.
     """
-    if config not in _CONFIGS:
-        raise ValueError(f"unknown text_config {config!r}; supported: {_CONFIGS}")
+    config = resolve_config(config)
     if not text:
         return [], [], 0
     if stem_cache is None:

@@ -226,20 +226,20 @@ def _tokenize_with_positions(text, config, cache):
     phrase queries; positions are 1-based indexes in the kept-token stream,
     like tsvector positions)."""
     from .functions.tokenizer import (
-        TOKEN_PATTERN, ENGLISH_STOPWORDS, MAX_WORD_LEN, MAX_TF)
-    from .functions.stemmer import stem as _stem
+        _CONFIGS, resolve_config, MAX_WORD_LEN, MAX_TF)
     if not text:
         return [], [], 0, []
-    words = TOKEN_PATTERN.findall(text.lower())
+    pattern, stopwords, stem_fn = _CONFIGS[resolve_config(config)]
+    words = pattern.findall(text.lower())
     posmap: dict[str, list[int]] = {}
     pos = 0
     for w in words:
         if len(w) > MAX_WORD_LEN:
             continue
-        if config == "english":
+        if stem_fn is not None:
             lex = cache.get(w, "?")
             if lex == "?":
-                lex = None if w in ENGLISH_STOPWORDS else _stem(w)
+                lex = None if (stopwords and w in stopwords) else stem_fn(w)
                 cache[w] = lex
             if lex is None:
                 pos += 1  # tsvector counts stopword positions
