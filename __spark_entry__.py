@@ -167,6 +167,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return idx.search("merging windows", k=10)
     q["bm25_topk_english"] = _english
 
+    # french config (Snowball French + stop list, PG-validated in
+    # tests/test_stemmer_intl.py). No SQL oracle — the driver records the
+    # rows-only check; stemmer parity is pytest-proven against PostgreSQL.
+    def _french(s, d):
+        key = "french:" + os.path.abspath(d)
+        idx = _INDEX_CACHE.get(key)
+        if idx is None:
+            tag = hashlib.md5(key.encode()).hexdigest()[:10]
+            path = os.path.join(tempfile.gettempdir(), f"pgts_entry_idx_{tag}")
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            idx = Bm25Index.build(s, _docs(s, d), "text", path,
+                                  id_col="doc_id",
+                                  opts=Bm25Options(text_config="french"))
+            _INDEX_CACHE[key] = idx
+        # 'merges'/'windows' stem to the corpus lexemes 'merg'/'window'
+        return idx.search("merges windows", k=10)
+    q["bm25_topk_french"] = _french
+
     # --- text analysis ---
     q["text_token_count"] = lambda s, d: textstats.token_counts(_docs(s, d))
     q["text_quality"] = lambda s, d: textstats.quality_scores(_docs(s, d))

@@ -102,9 +102,26 @@ def main() -> None:
     queries["p4_quality"] = timed(
         lambda: textstats.quality_scores(docs).collect(), n=2)
 
+    # dedup scale paths (round 2): banded simhash pairs + sign-LSH blocked
+    # embedding dedup — the candidate-generation shapes that replace the
+    # all-pairs joins at 100 TB
+    queries["p5_simhash_pairs"] = timed(
+        lambda: dedup.simhash_pairs(docs, max_hamming=3).collect(), n=2)
+    queries["p6_embed_blocked"] = timed(
+        lambda: dedup.embedding_dup_pairs_blocked(
+            embs, threshold=0.45, n_bands=16, band_bits=4).collect(), n=2)
+
     queries["build"] = round(build_sec, 4)
     total = round(sum(queries.values()), 4)
     stats = idx.stats()
+
+    # Block-Max prune counters (reference log_bmw_stats analogue): blocks
+    # decoded vs total for the headline single- and multi-term queries
+    bmw = {}
+    for name, q in (("q1_single_term", "merge"),
+                    ("q3_multi_term", "hash join merge window")):
+        _, st = idx.search_profiled(q, k=10)
+        bmw[name] = st
     out = {
         "metric": "bm25_build_plus_headline_queries",
         "value": total,
@@ -119,6 +136,7 @@ def main() -> None:
             "index_bytes": stats["bytes"],
             "cpus": cpus,
         },
+        "bmw": bmw,
     }
     print(json.dumps(out))
 

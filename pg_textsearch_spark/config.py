@@ -34,6 +34,14 @@ class Bm25Options:
     docs_per_segment: int = 1 << 16
     default_limit: int = DEFAULT_LIMIT
     store_positions: bool = False   # positions sidecar enables phrase queries
+    # reference compress_segments GUC (src/segment/format.h:241-245,
+    # test/sql/compression.sql): False stores raw fixed-width posting
+    # streams with the identical block/skip layout
+    compress_segments: bool = True
+
+    @property
+    def codec(self) -> str:
+        return "varbyte" if self.compress_segments else "raw"
 
     def __post_init__(self) -> None:
         if not (0.1 <= self.k1 <= 10.0):

@@ -165,7 +165,8 @@ def make_packer(index_path: str, seg_ids: dict[int, str], opts: Bm25Options,
                 {"doc_id": [], "term": [], "tf": [], "fieldnorm": [],
                  "positions": []})
         packed = pack_postings_frame(postings, block_size=block_size,
-                                     with_positions=with_positions)
+                                     with_positions=with_positions,
+                                     codec=opts.codec)
         packed.insert(0, "segment_id", seg_id)
         nbytes = write_segment_files(seg_dir, packed, docs, with_positions)
 
@@ -334,6 +335,8 @@ class Bm25Index:
             "levels": {lvl: len(segs) for lvl, segs in m.levels.items()},
             "num_terms_per_segment": {s.segment_id: s.num_terms for s in m.segments},
             "bytes": sum(s.bytes for s in m.segments),
+            "bytes_per_level": {lvl: sum(s.bytes for s in segs)
+                                for lvl, segs in m.levels.items()},
             "max_skew_factor": max((s.skew_factor for s in m.segments), default=0.0),
             "options": m.opts.to_dict(),
         }

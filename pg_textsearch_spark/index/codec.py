@@ -15,7 +15,9 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["varbyte_encode", "varbyte_decode", "delta_encode_blocks", "delta_decode_blocks"]
+__all__ = ["varbyte_encode", "varbyte_decode", "delta_encode_blocks",
+           "delta_decode_blocks", "stream_encode", "stream_decode",
+           "stream_nbytes"]
 
 _MASKS = np.uint64(0x7F)
 
@@ -100,3 +102,45 @@ def delta_decode_blocks(deltas: np.ndarray, block_size: int = 128) -> np.ndarray
     # block-start deltas are absolute, so a per-block cumsum reconstructs ids
     out = np.cumsum(padded.reshape(nblocks, block_size), axis=1).reshape(-1)
     return out[:n]
+
+
+# ---------------------------------------------------------------- codecs
+# The reference's compress_segments GUC / format flags
+# (src/segment/format.h:241-245, test/sql/compression.sql) toggle between
+# compressed and raw posting streams. 'varbyte' = delta+varbyte (default);
+# 'raw' = fixed-width little-endian uint64 per value (no compression —
+# width 8 because block-leading deltas are absolute 64-bit hash doc_ids —
+# but identical block/skip layout so every query path is codec-agnostic).
+
+def stream_nbytes(values: np.ndarray, codec: str = "varbyte") -> np.ndarray:
+    """Per-value encoded byte width (for skip-entry byte offsets)."""
+    vals = np.asarray(values, dtype=np.uint64)
+    if codec == "raw":
+        return np.full(vals.shape, 8, dtype=np.int64)
+    nbits = np.zeros(vals.shape, dtype=np.int64)
+    tmp = vals.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        nbits[nz] += 1
+        tmp >>= np.uint64(1)
+    return np.maximum((nbits + 6) // 7, 1)
+
+
+def stream_encode(values: np.ndarray, codec: str = "varbyte") -> bytes:
+    if codec == "raw":
+        return np.ascontiguousarray(values, dtype="<u8").tobytes()
+    return varbyte_encode(values)
+
+
+def stream_decode(buf, offset: int = 0, count: int | None = None,
+                  codec: str = "varbyte") -> np.ndarray:
+    if codec == "raw":
+        raw = np.frombuffer(buf, dtype=np.uint8)
+        if offset:
+            raw = raw[offset:]
+        if count is not None:
+            raw = raw[:8 * count]
+        return np.frombuffer(raw.tobytes(), dtype="<u8")
+    return varbyte_decode(buf, offset, count)

@@ -48,6 +48,7 @@ def _merge_group_packer(opts: Bm25Options, seg_id: str, n_salts: int,
     executor), not inside the task closure."""
     block_size = opts.block_size
     with_pos = opts.store_positions
+    codec = opts.codec
 
     def pack_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
         term, salt = key[0], int(key[1])
@@ -56,7 +57,7 @@ def _merge_group_packer(opts: Bm25Options, seg_id: str, n_salts: int,
             deleted = getattr(deleted_bc, "value", deleted_bc)
         ids_l, tfs_l, norms_l, pos_l = [], [], [], []
         for r in pdf.to_dict("records"):
-            ids, tfs, norms = decode_row(r, block_size)
+            ids, tfs, norms = decode_row(r, block_size, codec)
             if deleted is not None and deleted.size and ids.size:
                 p = np.searchsorted(deleted, ids)
                 p[p >= deleted.size] = deleted.size - 1
@@ -73,7 +74,8 @@ def _merge_group_packer(opts: Bm25Options, seg_id: str, n_salts: int,
         if ids.size == 0:
             empty = pack_postings_frame(pd.DataFrame(
                 {"doc_id": [], "term": [], "tf": [], "fieldnorm": [],
-                 "positions": []}), block_size, with_positions=with_pos)
+                 "positions": []}), block_size, with_positions=with_pos,
+                codec=codec)
             empty.insert(0, "segment_id", seg_id)
             return empty
         tfs = np.concatenate(tfs_l)
@@ -88,7 +90,7 @@ def _merge_group_packer(opts: Bm25Options, seg_id: str, n_salts: int,
                 pos_arr[i] = p
             frame["positions"] = pos_arr
         packed = pack_postings_frame(pd.DataFrame(frame), block_size,
-                                     with_positions=with_pos)
+                                     with_positions=with_pos, codec=codec)
         # unique shard ids across salts of the same term; doc-range order
         # is carried by min_doc_id (the query kernel never assumes shard
         # ranges are disjoint, only that docs are unique per term)

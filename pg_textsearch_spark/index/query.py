@@ -200,7 +200,7 @@ def make_segment_kernel(qfreqs: dict[str, float], n_docs: int,
         def decode_term_full(t):
             ids_l, tfs_l, norms_l, poss_l = [], [], [], []
             for r in per_term[t]:
-                ids, tfs, norms = decode_row(r, opts.block_size)
+                ids, tfs, norms = decode_row(r, opts.block_size, opts.codec)
                 counters["decoded"] += int(r["num_blocks"])
                 ids_l.append(ids); tfs_l.append(tfs); norms_l.append(norms)
                 if phrase_occs is not None:
@@ -220,9 +220,9 @@ def make_segment_kernel(qfreqs: dict[str, float], n_docs: int,
                 if sel.size == 0:
                     continue
                 if sel.size == bnds.size:
-                    ids, tfs, norms = decode_row(r, opts.block_size)
+                    ids, tfs, norms = decode_row(r, opts.block_size, opts.codec)
                 else:
-                    ids, tfs, norms = decode_row_blocks(r, sel)
+                    ids, tfs, norms = decode_row_blocks(r, sel, opts.codec)
                 counters["decoded"] += int(sel.size)
                 ids_l.append(ids)
                 tfs_l.append(tfs.astype(np.float64))
@@ -266,9 +266,10 @@ def make_segment_kernel(qfreqs: dict[str, float], n_docs: int,
                     blks = np.sort(sel_b[sel_r == ri])
                     r = rows[int(ri)]
                     if blks.size == int(r["num_blocks"]):
-                        ids, tfs, norms = decode_row(r, opts.block_size)
+                        ids, tfs, norms = decode_row(r, opts.block_size, opts.codec)
                     else:
-                        ids, tfs, norms = decode_row_blocks(r, blks)
+                        ids, tfs, norms = decode_row_blocks(r, blks,
+                                                            opts.codec)
                     counters["decoded"] += int(blks.size)
                     ids, tfs, norms, _ = mask_deleted(
                         ids, tfs.astype(np.float64), norms)
@@ -370,7 +371,8 @@ def make_segment_kernel(qfreqs: dict[str, float], n_docs: int,
             cand_ids = uniq[cand_mask]
             for t in rem_terms:
                 add = _candidate_contrib(per_term[t], cand_ids, weights[t],
-                                         denom_norm, k1, deleted, counters)
+                                         denom_norm, k1, deleted, counters,
+                                         opts.codec)
                 scores[cand_mask] += add
             # counts are partial under pruning; only used for 'and' (no prune)
 
@@ -402,7 +404,8 @@ def make_segment_kernel(qfreqs: dict[str, float], n_docs: int,
 def _candidate_contrib(rows, cand_ids: np.ndarray, w: float,
                        denom_norm: np.ndarray, k1: float,
                        deleted: np.ndarray | None = None,
-                       counters: dict | None = None) -> np.ndarray:
+                       counters: dict | None = None,
+                       codec: str = "varbyte") -> np.ndarray:
     """Non-essential term lookup: decode only the blocks that can contain a
     candidate doc (binary search over skip last_doc_ids — the reference's
     block seek, src/segment/scan.c:448-500) and return each candidate's
@@ -419,7 +422,7 @@ def _candidate_contrib(rows, cand_ids: np.ndarray, w: float,
         blocks = np.unique(np.searchsorted(lasts, sel, side="left"))
         if counters is not None:
             counters["decoded"] += int(blocks.size)
-        ids, tfs, norms = decode_row_blocks(r, blocks)
+        ids, tfs, norms = decode_row_blocks(r, blocks, codec)
         if deleted is not None and deleted.size and ids.size:
             pos_d = np.searchsorted(deleted, ids)
             pos_d[pos_d >= deleted.size] = deleted.size - 1
@@ -598,6 +601,7 @@ def search_batch(index: "Bm25Index", queries: list[str], k: int = 10,
     avgdl = max(index.manifest.avgdl, 1e-9)
     k1, b = float(opts.k1), float(opts.b)
     block_size = opts.block_size
+    codec = opts.codec
 
     per_query: list[list[tuple[str, float]]] = []
     all_terms: set[str] = set()
@@ -631,7 +635,7 @@ def search_batch(index: "Bm25Index", queries: list[str], k: int = 10,
         for t, grp in pdf.sort_values(["term", "shard"]).groupby("term", sort=False):
             ids_l, tfs_l, norms_l = [], [], []
             for r in grp.to_dict("records"):
-                ids, tfs, norms = decode_row(r, block_size)
+                ids, tfs, norms = decode_row(r, block_size, codec)
                 ids_l.append(ids); tfs_l.append(tfs); norms_l.append(norms)
             ids = np.concatenate(ids_l)
             tfs = np.concatenate(tfs_l).astype(np.float64)

@@ -28,6 +28,9 @@ from ..config import BLOCK_SIZE
 from .codec import (
     delta_decode_blocks,
     delta_encode_blocks,
+    stream_decode,
+    stream_encode,
+    stream_nbytes,
     varbyte_decode,
     varbyte_encode,
 )
@@ -64,6 +67,7 @@ def pack_term(
     positions: list | None = None,
     block_size: int = BLOCK_SIZE,
     max_postings_per_row: int = MAX_POSTINGS_PER_ROW,
+    codec: str = "varbyte",
 ) -> list[dict]:
     """Pack one term's postings (sorted by doc_id) into 1+ shard rows."""
     n = doc_ids.size
@@ -76,8 +80,8 @@ def pack_term(
         m = ids.size
         nblocks = (m + block_size - 1) // block_size
         deltas = delta_encode_blocks(ids, block_size)
-        doc_bin = varbyte_encode(deltas.astype(np.uint64))
-        tf_bin = varbyte_encode(t.astype(np.uint64))
+        doc_bin = stream_encode(deltas.astype(np.uint64), codec)
+        tf_bin = stream_encode(t.astype(np.uint64), codec)
         norm_bin = nm.astype(np.uint8).tobytes()
 
         ends = np.minimum(np.arange(1, nblocks + 1) * block_size, m) - 1
@@ -89,8 +93,8 @@ def pack_term(
         # per-block byte offsets into doc_ids_bin / tfs_bin: enable
         # random-access block decode (reference TpSkipEntry.posting_offset,
         # src/segment/format.h:230-239)
-        dlen = np.cumsum(_varbyte_nbytes(deltas.astype(np.uint64)))
-        tlen = np.cumsum(_varbyte_nbytes(t.astype(np.uint64)))
+        dlen = np.cumsum(stream_nbytes(deltas.astype(np.uint64), codec))
+        tlen = np.cumsum(stream_nbytes(t.astype(np.uint64), codec))
         doc_off = np.r_[0, dlen[:-1]][block_starts]
         tf_off = np.r_[0, tlen[:-1]][block_starts]
 
@@ -136,6 +140,7 @@ def pack_postings_frame(
     block_size: int = BLOCK_SIZE,
     max_postings_per_row: int = MAX_POSTINGS_PER_ROW,
     with_positions: bool = False,
+    codec: str = "varbyte",
 ) -> pd.DataFrame:
     """Pack a (doc_id, term, tf, fieldnorm[, positions]) frame into shard rows.
 
@@ -170,7 +175,7 @@ def pack_postings_frame(
             plists = list(pos[s:e]) if pos is not None else None
             out_extra.extend(pack_term(str(uniq[i]), ids[s:e], tfs[s:e],
                                        norms[s:e], plists, block_size,
-                                       max_postings_per_row))
+                                       max_postings_per_row, codec))
         keep = ~np.repeat(big, g_len)
         terms, ids, tfs, norms = terms[keep], ids[keep], tfs[keep], norms[keep]
         if pos is not None:
@@ -198,12 +203,12 @@ def pack_postings_frame(
     deltas[1:] = ids[1:] - ids[:-1]
     deltas[b_start] = ids[b_start]
 
-    # varbyte streams for the whole segment, then per-term slices
-    doc_stream = varbyte_encode(deltas.astype(np.uint64))
-    tf_stream = varbyte_encode(tfs.astype(np.uint64))
+    # codec streams for the whole segment, then per-term slices
+    doc_stream = stream_encode(deltas.astype(np.uint64), codec)
+    tf_stream = stream_encode(tfs.astype(np.uint64), codec)
     norm_stream = norms.astype(np.uint8).tobytes()
-    d_nb = _varbyte_nbytes(deltas.astype(np.uint64))
-    t_nb = _varbyte_nbytes(tfs.astype(np.uint64))
+    d_nb = stream_nbytes(deltas.astype(np.uint64), codec)
+    t_nb = stream_nbytes(tfs.astype(np.uint64), codec)
     d_off = np.r_[np.int64(0), np.cumsum(d_nb)]   # n+1 byte offsets
     t_off = np.r_[np.int64(0), np.cumsum(t_nb)]
 
@@ -320,17 +325,20 @@ def _empty_packed_frame() -> pd.DataFrame:
                          for c in POSTINGS_COLUMNS})
 
 
-def decode_row(row: dict | pd.Series, block_size: int = BLOCK_SIZE):
+def decode_row(row: dict | pd.Series, block_size: int = BLOCK_SIZE,
+               codec: str = "varbyte"):
     """Decode one shard row -> (doc_ids, tfs, norms) int64 arrays."""
     n = int(row["doc_freq"])
-    deltas = varbyte_decode(row["doc_ids_bin"], count=n).astype(np.int64)
+    deltas = stream_decode(row["doc_ids_bin"], count=n,
+                           codec=codec).astype(np.int64)
     ids = delta_decode_blocks(deltas, block_size)
-    tfs = varbyte_decode(row["tfs_bin"], count=n).astype(np.int64)
+    tfs = stream_decode(row["tfs_bin"], count=n, codec=codec).astype(np.int64)
     norms = np.frombuffer(row["norms_bin"], dtype=np.uint8).astype(np.int64)
     return ids, tfs, norms
 
 
-def decode_row_blocks(row: dict | pd.Series, block_idx: np.ndarray):
+def decode_row_blocks(row: dict | pd.Series, block_idx: np.ndarray,
+                      codec: str = "varbyte"):
     """Random-access decode of selected blocks of one shard row.
 
     ``block_idx``: sorted unique block indices. Returns (doc_ids, tfs,
@@ -355,15 +363,16 @@ def decode_row_blocks(row: dict | pd.Series, block_idx: np.ndarray):
     for run in runs:
         a, b = int(run[0]), int(run[-1])
         n_run = int(post_start[b + 1] - post_start[a])
-        deltas = varbyte_decode(dbin, offset=int(doc_off[a]), count=n_run)
+        deltas = stream_decode(dbin, offset=int(doc_off[a]), count=n_run,
+                               codec=codec)
         g = np.cumsum(deltas.astype(np.int64))
         # block-leading deltas are absolute: subtract each block's carried
         # prefix (same trick as decode_positions)
         local_starts = post_start[a:b + 1] - post_start[a]
         prefix = np.r_[np.int64(0), g[local_starts[1:] - 1]]
         ids_l.append(g - np.repeat(prefix, counts[a:b + 1]))
-        tfs_l.append(varbyte_decode(tbin, offset=int(tf_off[a]),
-                                    count=n_run).astype(np.int64))
+        tfs_l.append(stream_decode(tbin, offset=int(tf_off[a]), count=n_run,
+                                   codec=codec).astype(np.int64))
         norms_l.append(nrm_all[post_start[a]:post_start[b + 1]].astype(np.int64))
     return (np.concatenate(ids_l), np.concatenate(tfs_l),
             np.concatenate(norms_l))

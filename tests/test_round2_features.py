@@ -156,3 +156,26 @@ def test_manifest_rejects_old_format(spark, mixed, tmp_index):
         json.dump(d, f)
     with pytest.raises(ValueError, match="format_version 1"):
         Manifest.load(tmp_index)
+
+
+def test_uncompressed_segments_match(spark, mixed, tmp_path):
+    """compress_segments=False (reference compress_segments GUC /
+    test/sql/compression.sql): raw fixed-width posting streams, same
+    block/skip layout, identical results through search + append + merge."""
+    comp = Bm25Index.build(spark, mixed, "content", str(tmp_path / "c"),
+                           id_col="id", opts=SIMPLE, num_segments=2)
+    raw_opts = Bm25Options(text_config="simple", compress_segments=False)
+    raw = Bm25Index.build(spark, mixed, "content", str(tmp_path / "r"),
+                          id_col="id", opts=raw_opts, num_segments=2)
+    for q in ["alpha", "alpha beta", "alpha beta gamma"]:
+        assert rows(raw.search(q, k=10)) == rows(comp.search(q, k=10)), q
+    assert raw.stats()["bytes"] > comp.stats()["bytes"]
+    # merge path re-encodes with the index's own codec
+    extra = spark.createDataFrame([(5001, "alpha beta zulu")],
+                                  "id long, content string")
+    raw.append(extra, "content", "id")
+    raw.force_merge()
+    comp.append(extra, "content", "id")
+    comp.force_merge()
+    assert rows(raw.search("alpha beta", k=10)) == \
+        rows(comp.search("alpha beta", k=10))
