@@ -486,23 +486,32 @@ def embedding_dup_pairs_blocked(embs: DataFrame, threshold: float = 0.9,
     v = F.col(vec_col).cast("array<double>")
     base = embs.select(F.col(id_col).alias("vec_id"), v.alias("v"),
                        _norm_col(v).alias("nrm"))
+    # band rows carry ONLY (vec_id, band, bval): the exploded table and
+    # the collision shuffle stay narrow; vectors join back per UNIQUE
+    # candidate pair, so the O(dim) cosine fold runs once per pair, not
+    # once per band collision (a true near-dup collides in most bands)
     bands = base.select(
-        "vec_id", "v", "nrm",
+        "vec_id",
         F.explode(F.array(*[
             F.struct(F.lit(j).alias("band"),
                      _sign_band_col(j, band_bits).alias("bval"))
             for j in range(n_bands)])).alias("bb")) \
-        .select("vec_id", "v", "nrm", F.col("bb.band").alias("band"),
+        .select("vec_id", F.col("bb.band").alias("band"),
                 F.col("bb.bval").alias("bval"))
     a, b = bands.alias("a"), bands.alias("b")
-    cos = _dot_col(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
-    return (a.join(b, ["band", "bval"])
+    cand = (a.join(b, ["band", "bval"])
             .filter(F.col("a.vec_id") < F.col("b.vec_id"))
             .select(F.col("a.vec_id").alias("vec_a"),
-                    F.col("b.vec_id").alias("vec_b"),
-                    F.round(cos, 4).alias("cos"))
+                    F.col("b.vec_id").alias("vec_b"))
+            .distinct())
+    va = base.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                     F.col("nrm").alias("na"))
+    vb = base.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                     F.col("nrm").alias("nb"))
+    cos = _dot_col(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (cand.join(va, "vec_a").join(vb, "vec_b")
+            .select("vec_a", "vec_b", F.round(cos, 4).alias("cos"))
             .filter(F.col("cos") >= threshold)
-            .distinct()
             .orderBy("vec_a", "vec_b"))
 
 
