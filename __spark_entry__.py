@@ -95,6 +95,30 @@ def _merged_index_for(spark: SparkSession, sf_dir: str) -> Bm25Index:
     return idx
 
 
+def _cached_index(s: SparkSession, d: str, tag_prefix: str,
+                  opts: Bm25Options,
+                  mutate=None) -> Bm25Index:
+    """Build-once-per-process index over sf_dir docs under a cache key;
+    ``mutate`` runs once right after the build (deletes, vacuum, ...)."""
+    key = tag_prefix + ":" + os.path.abspath(d)
+    idx = _INDEX_CACHE.get(key)
+    if idx is None:
+        tag = hashlib.md5(key.encode()).hexdigest()[:10]
+        path = os.path.join(tempfile.gettempdir(), f"pgts_entry_idx_{tag}")
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        idx = Bm25Index.build(s, _docs(s, d), "text", path,
+                              id_col="doc_id", opts=opts)
+        if mutate is not None:
+            mutate(idx)
+        _INDEX_CACHE[key] = idx
+    return idx
+
+
+# ids tombstoned by the deletion/vacuum entries (fixed, present at every sf)
+DELETED_IDS = [3, 7, 11, 42]
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: build the BM25 segment index over sf0.001 documents and run
     a multi-term top-10 Block-Max search, joined back to doc metadata."""
@@ -186,6 +210,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return idx.search("merges windows", k=10)
     q["bm25_topk_french"] = _french
 
+    # --- deletion / vacuum (reference M4/M6) ---
+    # pre-vacuum: tombstoned docs are masked from results while corpus
+    # stats stay dead-inclusive (reference alive-bitset semantics)
+    q["bm25_topk_deleted"] = lambda s, d: _cached_index(
+        s, d, "deleted", SIMPLE_OPTS,
+        mutate=lambda i: i.delete(DELETED_IDS)).search(Q_SINGLE, k=10)
+    # post-vacuum: dead postings physically dropped, stats shrink to the
+    # alive corpus — equivalent to a fresh build over the filtered table
+    q["bm25_topk_vacuumed"] = lambda s, d: _cached_index(
+        s, d, "vacuumed", SIMPLE_OPTS,
+        mutate=lambda i: (i.delete(DELETED_IDS), i.vacuum())).search(
+            Q_SINGLE, k=10)
+
+    # --- custom k1/b index options (reference WITH (k1=..., b=...)) ---
+    q["bm25_topk_k1b"] = lambda s, d: _cached_index(
+        s, d, "k1b", Bm25Options(text_config="simple", k1=0.9, b=0.4)
+        ).search(Q_MULTI, k=10)
+
     # --- text analysis ---
     q["text_token_count"] = lambda s, d: textstats.token_counts(_docs(s, d))
     q["text_quality"] = lambda s, d: textstats.quality_scores(_docs(s, d))
@@ -212,6 +254,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 8x8 default is tuned for the usual >=0.9 dedup threshold)
     q["dedup_embed_blocked"] = lambda s, d: dedup.embedding_dup_pairs_blocked(
         _embs(s, d), threshold=0.45, n_bands=16, band_bits=4)
+
+    # near-dup clustering: connected components (min-label propagation)
+    # over the MinHash-LSH candidate pairs with est_jaccard >= 0.5
+    q["dedup_clusters"] = lambda s, d: dedup.dedup_clusters(
+        _docs(s, d), dedup.minhash_candidate_pairs(_docs(s, d)),
+        min_sim=0.5)
 
     # --- similarity search ---
     q["ann_cosine_topk"] = lambda s, d: similarity.cosine_topk(
@@ -247,6 +295,22 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_topk_english"] = bm25_oracle.bm25_oracle_sql(
         "merging windows", k=10, opts=ENGLISH_OPTS)
 
+    _del_ids = ", ".join(str(i) for i in DELETED_IDS)
+    # pre-vacuum: stats dead-inclusive, results exclude tombstones -> score
+    # over the FULL table, filter, then cut top-k
+    o["bm25_topk_deleted"] = f"""
+SELECT doc_id, score FROM ({bm25_oracle.bm25_oracle_sql(Q_SINGLE, k=None)})
+WHERE doc_id NOT IN ({_del_ids})
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+    # post-vacuum: identical to a fresh build over the alive corpus
+    o["bm25_topk_vacuumed"] = bm25_oracle.bm25_oracle_sql(
+        Q_SINGLE, k=10,
+        table=f"(SELECT * FROM documents WHERE doc_id NOT IN ({_del_ids}))")
+    o["bm25_topk_k1b"] = bm25_oracle.bm25_oracle_sql(
+        Q_MULTI, k=10,
+        opts=Bm25Options(text_config="simple", k1=0.9, b=0.4))
+
     o["text_token_count"] = textstats.token_counts_oracle_sql()
     o["text_quality"] = textstats.quality_scores_oracle_sql()
     o["text_langid"] = textstats.lang_id_oracle_sql()
@@ -265,6 +329,9 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_simhash_pairs"] = dedup.simhash_pairs_oracle_sql(max_hamming=3)
     o["dedup_embed_blocked"] = dedup.embedding_dup_pairs_blocked_oracle_sql(
         threshold=0.45, dim=EMB_DIM, n_bands=16, band_bits=4)
+
+    o["dedup_clusters"] = dedup.dedup_clusters_oracle_sql(
+        dedup.minhash_candidate_pairs_oracle_sql(), min_sim=0.5)
 
     o["ann_cosine_topk"] = similarity.cosine_topk_oracle_sql(
         ANN_QUERY_IDS, k=5, dim=EMB_DIM)

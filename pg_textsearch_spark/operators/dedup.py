@@ -576,3 +576,76 @@ FROM base a JOIN base b ON a.vec_id < b.vec_id
 WHERE ROUND({dot} / (a.nrm * b.nrm), 4) >= {threshold}
 ORDER BY vec_a, vec_b
 """
+
+
+# ------------------------------------------------ near-dup clustering
+
+def dedup_clusters(docs: DataFrame, pairs: DataFrame,
+                   min_sim: float | None = None,
+                   sim_col: str = "est_jaccard",
+                   id_col: str = "doc_id",
+                   max_iters: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair graph: every document gets
+    ``cluster_id`` = the minimum doc_id of its component (singletons map to
+    themselves). This is the keep-one-per-cluster step after any pair
+    generator (minhash/simhash/embedding).
+
+    Min-label propagation: per round, each node takes the minimum label
+    among itself and its neighbors; converges in O(component diameter)
+    rounds — near-dup components are clique-ish, so 2-3 rounds in
+    practice. The loop is a bounded DRIVER control loop (one count() per
+    round for the convergence test); per-round lineage is cut with
+    localCheckpoint so plans stay flat at scale. Shuffles are keyed by
+    doc_id throughout — no all-pairs anything."""
+    if min_sim is not None:
+        pairs = pairs.filter(F.col(sim_col) >= min_sim)
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = fwd.union(pairs.select(F.col("doc_b").alias("src"),
+                                   F.col("doc_a").alias("dst"))).persist()
+    labels = docs.select(F.col(id_col).alias("doc_id"),
+                         F.col(id_col).cast("long").alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        prop = (edges.join(labels, edges.src == labels.doc_id)
+                .groupBy(F.col("dst").alias("doc_id"))
+                .agg(F.min("label").alias("nbr_min")))
+        new = (labels.join(prop, "doc_id", "left")
+               .select("doc_id",
+                       F.least(F.col("label"),
+                               F.coalesce(F.col("nbr_min"), F.col("label")))
+                       .alias("label")))
+        new = new.localCheckpoint(eager=True)
+        changed = (new.alias("n").join(labels.alias("o"), "doc_id")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return (labels.select("doc_id", F.col("label").alias("cluster_id"))
+            .orderBy("doc_id"))
+
+
+def dedup_clusters_oracle_sql(pairs_sql: str, min_sim: float | None = None,
+                              sim_col: str = "est_jaccard",
+                              table: str = "documents",
+                              id_col: str = "doc_id") -> str:
+    """Recursive-CTE twin: cluster_id(d) = MIN over nodes reachable from d
+    (symmetric edges + self), exactly the fixpoint of min-label
+    propagation. ``pairs_sql``: any pair-generator oracle SQL with
+    (doc_a, doc_b, {sim_col}) output."""
+    simf = f"WHERE {sim_col} >= {min_sim}" if min_sim is not None else ""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS t FROM pairs {simf}
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS t FROM pairs {simf}
+),
+reach AS (
+  SELECT {id_col} AS d, {id_col} AS r FROM {table}
+  UNION
+  SELECT re.d, e.t FROM reach re JOIN edges e ON e.s = re.r
+)
+SELECT d AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY d
+ORDER BY doc_id
+"""

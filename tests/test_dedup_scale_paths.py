@@ -118,3 +118,31 @@ def test_ivf_lloyd_recall_vs_exact(spark, embs):
                dim=dim).collect()}
     recall = len(ivf & exact) / len(exact)
     assert recall >= 0.6, f"IVF recall {recall:.2f} below floor"
+
+
+# --------------------------------------------------- near-dup clustering
+
+def test_dedup_clusters_chain_and_clique(spark):
+    """A 4-node chain (worst diameter) + a 3-clique + singletons must all
+    collapse to min-id components."""
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(1, 11)],
+                                 "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4; clique 5-6-7; 8,9,10 singletons
+        [(1, 2, 0.9), (2, 3, 0.9), (3, 4, 0.9),
+         (5, 6, 0.9), (5, 7, 0.9), (6, 7, 0.9)],
+        "doc_a long, doc_b long, est_jaccard double")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.dedup_clusters(docs, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5,
+                   8: 8, 9: 9, 10: 10}
+
+
+def test_dedup_clusters_min_sim_filter(spark):
+    docs = spark.createDataFrame([(i, f"d{i}") for i in (1, 2, 3)],
+                                 "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2, 0.9), (2, 3, 0.3)],
+                                  "doc_a long, doc_b long, est_jaccard double")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.dedup_clusters(docs, pairs, min_sim=0.5).collect()}
+    assert got == {1: 1, 2: 1, 3: 3}    # weak edge dropped
