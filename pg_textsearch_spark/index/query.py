@@ -520,6 +520,15 @@ def _search_local(index: "Bm25Index", query: str, k, mode: str,
                                  deleted_bc=deleted_bc, static_df=static_df,
                                  round_to=round_to, profile=profile)
     postings = _read_postings(index, terms)
+    if phrase_occs is None:
+        # applyInPandas ships every input column to the kernel (no
+        # automatic pruning through the Arrow boundary) — drop the
+        # positions sidecar unless this is a phrase query. On a
+        # positions-enabled index the sidecar is the biggest column.
+        pos_cols = [c for c in ("pos_counts_bin", "pos_deltas_bin")
+                    if c in postings.columns]
+        if pos_cols:
+            postings = postings.drop(*pos_cols)
     out_schema = "doc_id long, raw_score double, n_terms int"
     if profile:
         out_schema += ", segment_id string, blocks_decoded long, blocks_total long"
@@ -681,6 +690,9 @@ def search_batch(index: "Bm25Index", queries: list[str], k: int = 10,
                              "raw_score": np.concatenate(out_sc)})
 
     postings = _read_postings(index, sorted(all_terms))
+    postings = postings.drop(*[c for c in ("pos_counts_bin",
+                                           "pos_deltas_bin")
+                               if c in postings.columns])
     from pyspark.sql import Window
     rows = postings.withColumn(
         "gdf", F.sum("doc_freq").over(Window.partitionBy("term")))

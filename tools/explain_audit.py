@@ -1,0 +1,153 @@
+"""Plan audit: capture .explain("formatted") for the headline operators
+and annotate why each shape survives a 100 TB / 1000-executor scale-up.
+
+Writes PLANS.md at the repo root. Run at sf0.01 (plans are size-
+independent; only statistics change).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def formatted(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def trim(plan: str, max_lines: int = 40) -> str:
+    """Keep the operator tree + the most informative node details
+    (PushedFilters, ReadSchema, join/exchange keys), drop the rest."""
+    lines = plan.splitlines()
+    # tree section ends at the first blank line after the header
+    tree_end = next((i for i, ln in enumerate(lines[1:], 1)
+                     if not ln.strip()), len(lines))
+    tree = lines[:tree_end]
+    keep_detail = [ln for ln in lines[tree_end:]
+                   if re.search(r"PushedFilters|ReadSchema|Arguments: "
+                                r"\[?(term|doc_id|hashpartitioning|"
+                                r"SinglePartition)|BroadcastExchange|"
+                                r"Location.*parquet", ln)]
+    out = tree[:max_lines]
+    if keep_detail:
+        out += ["", "-- key node details --"] + keep_detail[:14]
+    return "\n".join(out)
+
+
+def main() -> int:
+    import __spark_entry__ as entry
+    from pg_textsearch_spark.spark_utils import get_spark, doc_term_arrays
+    from pg_textsearch_spark.config import Bm25Options
+    from pg_textsearch_spark.operators import dedup, similarity
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    spark = get_spark("plans", cpus=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    embs = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+    idx = entry._index_for(spark, sf)
+
+    sections: list[tuple[str, str, str]] = []
+
+    # 1. dictionary lookup: predicate pushdown into the postings parquet
+    from pg_textsearch_spark.index.query import _read_postings
+    lookup = _read_postings(idx, ["merge", "hash"])
+    sections.append((
+        "Q10 dictionary term lookup",
+        formatted(lookup),
+        """The scan reads ONLY the query terms' shard rows: `term IN (...)`
+reaches the parquet scan as PushedFilters (row-group pruning via the
+term min/max statistics written per segment = the sorted dictionary's
+binary search), and ReadSchema shows column pruning. At 100 TB the scan
+cost is O(query terms x segments), independent of corpus size."""))
+
+    # 2. the one-job search plan
+    sections.append((
+        "Q4/Q5 top-k search (single job)",
+        formatted(idx.search("hash join merge", k=10)),
+        """One job end-to-end: pushdown scan -> window attaches the global
+doc_freq to the term's shard rows (a shuffle over only those few rows)
+-> per-segment Arrow kernel (FlatMapGroupsInPandas) computes Block-Max
+-pruned local top-k -> TakeOrderedAndProject merges k rows per segment
+on the driver. Nothing shuffles postings; the only data movement is
+query-term dictionary rows and k results per segment. NOTE the
+ReadSchema excludes pos_counts_bin/pos_deltas_bin: applyInPandas ships
+every input column through Arrow (no automatic pruning), so non-phrase
+queries explicitly drop the positions sidecar — this audit caught the
+sidecar being read on every query of a positions-enabled index."""))
+
+    # 3. build tokenize+pack dataflow
+    arrs = doc_term_arrays(docs, "text", "doc_id",
+                           Bm25Options(text_config="simple"))
+    sections.append((
+        "B3-B10 build dataflow (tokenize -> array-packed rows)",
+        formatted(arrs),
+        """The build's only wide exchange shuffles ONE array-packed row per
+document (terms[], tfs[]), never a row per posting — at 33 M postings
+the per-row shuffle machinery dominates otherwise. Tokenization is a
+single Arrow-batched mapInPandas pass (measured 2x faster than a pure-
+Catalyst expression tower, BENCH.md); everything after the packer is
+embarrassingly parallel per segment."""))
+
+    # 4. exact dedup: map-side partial aggregation
+    sections.append((
+        "exact_dedup (hash groupBy)",
+        formatted(dedup.exact_dedup(docs)),
+        """HashAggregate appears twice around the exchange: partial_count on
+the map side collapses duplicate hashes BEFORE the shuffle, so shuffle
+volume is O(distinct contents), not O(rows). sha256 runs inside
+whole-stage codegen."""))
+
+    # 5. LSH banded pair join
+    sections.append((
+        "minhash_candidate_pairs (LSH band join)",
+        formatted(dedup.minhash_candidate_pairs(docs.limit(500))),
+        """The self-join key is (band, band-hash): fanout is bounded by
+bucket sizes, the classic LSH guarantee — no cartesian anything. The
+signature aggregation (min over 8 hash lanes) is map-side combinable."""))
+
+    # 6. ANN broadcast shape
+    sections.append((
+        "cosine_topk (brute ANN baseline)",
+        formatted(similarity.cosine_topk(embs, [0, 1, 2], k=5)),
+        """The tiny query set broadcasts (BroadcastExchange +
+BroadcastNestedLoopJoin); the corpus side stays partitioned and is
+scanned once. The per-query ranking window partitions by query_id —
+k x n_queries rows into the final sort."""))
+
+    # 7. facet composition: broadcast hash join on the top-k result
+    sections.append((
+        "bm25_facets (top-k join metadata)",
+        formatted(entry.queries()["bm25_facets"](spark, sf)),
+        """The top-k result (k rows) joins doc metadata via an explicit
+F.broadcast -> BroadcastHashJoin; the facet groupBy aggregates k rows.
+No shuffle touches the corpus."""))
+
+    parts = ["# PLANS — .explain('formatted') audit of the headline operators",
+             "",
+             "Generated by tools/explain_audit.py (sf0.01; plan shapes are",
+             "data-size independent). Each section: trimmed formatted plan +",
+             "why the shape survives 100 TB on a 1000-executor cluster.",
+             ""]
+    for title, plan, why in sections:
+        parts += [f"## {title}", "", "```", trim(plan), "```", "", why.strip(),
+                  ""]
+    with open(os.path.join(REPO, "PLANS.md"), "w") as f:
+        f.write("\n".join(parts) + "\n")
+    print(f"wrote PLANS.md with {len(sections)} sections")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
