@@ -228,6 +228,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d, "k1b", Bm25Options(text_config="simple", k1=0.9, b=0.4)
         ).search(Q_MULTI, k=10)
 
+    # --- bm25vector type analogue (reference src/types/vector.c) ---
+    from pg_textsearch_spark.functions.vectorize import to_bm25vector
+    q["bm25_vectorize"] = lambda s, d: to_bm25vector(
+        _docs(s, d).filter(F.col("doc_id") < 50), config="simple")
+    q["bm25_vectorize_english"] = lambda s, d: to_bm25vector(
+        _docs(s, d).filter(F.col("doc_id") < 50), config="english")
+
     # --- text analysis ---
     q["text_token_count"] = lambda s, d: textstats.token_counts(_docs(s, d))
     q["text_quality"] = lambda s, d: textstats.quality_scores(_docs(s, d))
@@ -310,6 +317,13 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
     o["bm25_topk_k1b"] = bm25_oracle.bm25_oracle_sql(
         Q_MULTI, k=10,
         opts=Bm25Options(text_config="simple", k1=0.9, b=0.4))
+
+    from pg_textsearch_spark.functions.vectorize import to_bm25vector_oracle_sql
+    o["bm25_vectorize"] = to_bm25vector_oracle_sql(
+        table="(SELECT * FROM documents WHERE doc_id < 50)")
+    o["bm25_vectorize_english"] = to_bm25vector_oracle_sql(
+        table="(SELECT * FROM documents WHERE doc_id < 50)",
+        config="english")
 
     o["text_token_count"] = textstats.token_counts_oracle_sql()
     o["text_quality"] = textstats.quality_scores_oracle_sql()
