@@ -277,6 +277,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- multimodal plumbing ---
     q["multimodal_features"] = lambda s, d: multimodal.extract_features(
         multimodal.to_blob_table(_docs(s, d)))
+    # real magic-byte content sniffing over a deterministic fake-media
+    # corpus (every format branch exercised; pure built-ins, no stub)
+    q["multimodal_sniff"] = lambda s, d: multimodal.sniff_mime(
+        multimodal.synth_media_blobs(_docs(s, d)))
 
     return q
 
@@ -353,4 +357,5 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
         ANN_QUERY_IDS, k=5, dim=EMB_DIM, n_iters=2)
 
     o["multimodal_features"] = multimodal.extract_features_oracle_sql()
+    o["multimodal_sniff"] = multimodal.sniff_mime_oracle_sql()
     return o

