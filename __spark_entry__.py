@@ -274,6 +274,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ivf_topk"] = lambda s, d: similarity.ivf_topk(
         _embs(s, d), ANN_QUERY_IDS, k=5, n_iters=2, dim=EMB_DIM)
 
+    # persisted IVF artifact (centroids + cent_id-partitioned buckets);
+    # probes prune whole bucket directories — same contract as ivf_topk,
+    # so the same oracle SQL applies
+    def _ivf_index(s, d):
+        key = "ivf:" + os.path.abspath(d)
+        art = _INDEX_CACHE.get(key)
+        if art is None:
+            tag = hashlib.md5(key.encode()).hexdigest()[:10]
+            path = os.path.join(tempfile.gettempdir(), f"pgts_ivf_{tag}")
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            art = similarity.IvfIndex.build(s, _embs(s, d), path,
+                                            n_centroids=16, n_iters=2)
+            _INDEX_CACHE[key] = art
+        return art.search_ids(ANN_QUERY_IDS, k=5, nprobe=2)
+    q["ann_ivf_index_topk"] = _ivf_index
+
     # --- multimodal plumbing ---
     q["multimodal_features"] = lambda s, d: multimodal.extract_features(
         multimodal.to_blob_table(_docs(s, d)))
@@ -354,6 +371,8 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
     o["ann_cosine_topk"] = similarity.cosine_topk_oracle_sql(
         ANN_QUERY_IDS, k=5, dim=EMB_DIM)
     o["ann_ivf_topk"] = similarity.ivf_topk_oracle_sql(
+        ANN_QUERY_IDS, k=5, dim=EMB_DIM, n_iters=2)
+    o["ann_ivf_index_topk"] = similarity.ivf_topk_oracle_sql(
         ANN_QUERY_IDS, k=5, dim=EMB_DIM, n_iters=2)
 
     o["multimodal_features"] = multimodal.extract_features_oracle_sql()

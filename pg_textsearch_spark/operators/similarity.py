@@ -248,3 +248,87 @@ SELECT query_id, rank::BIGINT AS rank, vec_id, ROUND(cos, 4) AS cos
 FROM ranked WHERE rank <= {k}
 ORDER BY query_id, rank
 """
+
+
+# ------------------------------------------------ persistent IVF index
+
+class IvfIndex:
+    """Persisted IVF ANN index: Lloyd-trained centroids + corpus vectors
+    bucketed by nearest centroid, written as ``partitionBy("cent_id")``
+    parquet. A probe query reads ONLY its nprobe buckets — Spark partition
+    pruning on the directory layout, the ANN analogue of the BM25 term
+    pushdown — so query cost is ~nprobe/n_centroids of the corpus,
+    independent of total size. Train/assign once, query many times
+    (``ivf_topk`` re-derives both per call and stays the ad-hoc path)."""
+
+    def __init__(self, spark, path: str):
+        import json as _json
+        import os as _os
+        self.spark = spark
+        self.path = path
+        with open(_os.path.join(path, "ivf_manifest.json")) as f:
+            self.meta = _json.load(f)
+
+    @staticmethod
+    def build(spark, embs: DataFrame, path: str, n_centroids: int = 16,
+              n_iters: int = 2, vec_col: str = "embedding",
+              id_col: str = "vec_id") -> "IvfIndex":
+        import json as _json
+        import os as _os
+        base = _with_norm(embs, vec_col, id_col)
+        dim = len(embs.select(vec_col).first()[0])
+        cents = ivf_centroids(base, n_centroids, n_iters, dim)
+        cents.coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(path, "centroids"))
+        assigned = _assign(base, cents)
+        (assigned.repartition("cent_id")
+         .write.mode("overwrite").partitionBy("cent_id")
+         .parquet(_os.path.join(path, "buckets")))
+        tmp = _os.path.join(path, "ivf_manifest.json.tmp")
+        with open(tmp, "w") as f:
+            _json.dump({"n_centroids": n_centroids, "n_iters": n_iters,
+                        "dim": dim, "format_version": 1}, f)
+        _os.replace(tmp, _os.path.join(path, "ivf_manifest.json"))
+        return IvfIndex(spark, path)
+
+    def _cents(self) -> DataFrame:
+        import os as _os
+        return self.spark.read.parquet(_os.path.join(self.path, "centroids"))
+
+    def search_ids(self, query_ids: list[int], k: int = 5,
+                   nprobe: int = 2) -> DataFrame:
+        """Top-k neighbors for query vectors drawn from the index by id
+        (query ids excluded from results — same contract/tie-breaks as
+        ``ivf_topk``, so the same oracle SQL applies)."""
+        import os as _os
+        buckets = self.spark.read.parquet(_os.path.join(self.path, "buckets"))
+        queries = (buckets.filter(F.col("vec_id").isin(query_ids))
+                   .select(F.col("vec_id").alias("query_id"),
+                           F.col("v").alias("qv"), F.col("nrm").alias("qn")))
+        cents = self._cents()
+        qcos = _dot_col(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        wprobe = Window.partitionBy("query_id").orderBy(
+            F.desc("qcos"), F.asc("cent_id"))
+        probes = (queries.crossJoin(F.broadcast(cents))
+                  .select("query_id", "qv", "qn", "cent_id",
+                          qcos.alias("qcos"))
+                  .withColumn("rn", F.row_number().over(wprobe))
+                  .filter(F.col("rn") <= nprobe)
+                  .select("query_id", "qv", "qn", "cent_id"))
+        probe_ids = [int(r["cent_id"])
+                     for r in probes.select("cent_id").distinct().collect()]
+        # partition pruning: cent_id is a directory column, so this filter
+        # prunes whole buckets at the file-listing level
+        cand_src = buckets.filter(F.col("cent_id").isin(probe_ids))
+        cand = (F.broadcast(probes).join(cand_src, "cent_id")
+                .filter(~F.col("vec_id").isin(query_ids)))
+        cos = _dot_col(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+        w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                                   F.asc("vec_id"))
+        return (cand.select("query_id", "vec_id", cos.alias("cos"))
+                .distinct()
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", F.col("rank").cast("long").alias("rank"),
+                        "vec_id", F.round("cos", 4).alias("cos"))
+                .orderBy("query_id", "rank"))

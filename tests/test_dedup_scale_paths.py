@@ -146,3 +146,19 @@ def test_dedup_clusters_min_sim_filter(spark):
     got = {r["doc_id"]: r["cluster_id"]
            for r in dedup.dedup_clusters(docs, pairs, min_sim=0.5).collect()}
     assert got == {1: 1, 2: 1, 3: 3}    # weak edge dropped
+
+
+# ------------------------------------------------ persisted IVF artifact
+
+def test_ivf_index_matches_adhoc_and_prunes(spark, embs, tmp_path):
+    idx = similarity.IvfIndex.build(spark, embs, str(tmp_path / "ivf"),
+                                    n_centroids=16, n_iters=2)
+    got = idx.search_ids([0, 1, 2, 3, 4], k=5, nprobe=2)
+    dim = len(embs.select("embedding").first()[0])
+    want = similarity.ivf_topk(embs, [0, 1, 2, 3, 4], k=5, n_centroids=16,
+                               nprobe=2, n_iters=2, dim=dim)
+    assert [tuple(r) for r in got.collect()] == \
+        [tuple(r) for r in want.collect()]
+    # probe filter must reach the directory layout as a partition filter
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cent_id" in plan
