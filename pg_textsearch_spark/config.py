@@ -38,6 +38,13 @@ class Bm25Options:
     # test/sql/compression.sql): False stores raw fixed-width posting
     # streams with the identical block/skip layout
     compress_segments: bool = True
+    # document-id layout: 'none' keeps user/hashed ids; 'length' assigns
+    # dense internal ids in ascending byte-length order (original ids kept
+    # in the docmap as source_id). Length-ordered blocks give block-max
+    # bounds real variance, enabling single-term early termination on
+    # corpora whose natural id order is uncorrelated with content
+    # (VALIDATION.md analysis; classic document-reordering layout).
+    reorder_docs: str = "none"
 
     @property
     def codec(self) -> str:
@@ -50,6 +57,8 @@ class Bm25Options:
             raise ValueError("b must be in [0.0, 1.0]")
         if self.avgdl_mode not in ("raw", "quantized"):
             raise ValueError("avgdl_mode must be 'raw' or 'quantized'")
+        if self.reorder_docs not in ("none", "length"):
+            raise ValueError("reorder_docs must be 'none' or 'length'")
 
     def to_dict(self) -> dict:
         return asdict(self)

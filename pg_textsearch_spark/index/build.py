@@ -236,6 +236,53 @@ class Bm25Index:
         register_index(os.path.basename(os.path.normpath(path)), self)
 
     # -- build (CREATE INDEX ... USING bm25) --------------------------------
+    @staticmethod
+    def _length_rank_ids(src: DataFrame, text_col: str) -> tuple[DataFrame, int]:
+        """(source_id -> dense new id ordered by (byte length, source_id),
+        n_docs). Byte length is a tokenizer-free proxy for doc length —
+        ranking happens BEFORE the (expensive) tokenize pass, so the
+        build stays one tokenizer scan. Scale shape: range-partitioned
+        sort of doc-count slim rows + per-partition offset assignment
+        (the zipWithIndex pattern) — never a single-partition window."""
+        from pyspark import TaskContext
+        import pandas as pd
+
+        spark = src.sparkSession
+        par = max(src.sparkSession.sparkContext.defaultParallelism, 8)
+        slim = src.select(
+            F.col("__id").alias("source_id"),
+            F.octet_length(F.coalesce(F.col(text_col).cast("string"),
+                                      F.lit(""))).alias("blen"))
+        ordered = (slim.repartitionByRange(par, "blen", "source_id")
+                   .sortWithinPartitions("blen", "source_id"))
+        ordered = ordered.persist()
+        counts = {r["pid"]: r["cnt"] for r in
+                  ordered.withColumn("pid", F.spark_partition_id())
+                  .groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+                  .collect()}
+        n = int(sum(counts.values()))
+        offsets = {}
+        acc = 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += int(counts[pid])
+        offs_bc = spark.sparkContext.broadcast(offsets)
+
+        def assign(batches):
+            pid = TaskContext.get().partitionId()
+            base = offs_bc.value.get(pid, 0)
+            seen = 0
+            for pdf in batches:
+                m = len(pdf)
+                yield pd.DataFrame({
+                    "source_id": pdf["source_id"],
+                    "__newid": np.arange(base + seen, base + seen + m,
+                                         dtype=np.int64)})
+                seen += m
+
+        mapping = ordered.mapInPandas(assign, "source_id long, __newid long")
+        return mapping, n
+
     @classmethod
     def build(
         cls,
@@ -266,7 +313,28 @@ class Bm25Index:
                 assume_full_id_range = True
 
         src = docs.withColumn("__id", F.col(id_col).cast("long"))
-        if assume_full_id_range and num_segments is not None:
+        if opts.reorder_docs == "length":
+            # dense ids in ascending byte-length order; original ids ride
+            # into the docmap as source_id (resolve() maps back).
+            # The global rank is STRIDED across segments —
+            # id = (rank mod S) * span + rank div S — so each segment's
+            # contiguous id range samples the FULL length spectrum in
+            # ascending order (a plain rank would turn range bucketing
+            # into per-segment length bands, making block-max bounds flat
+            # within every segment again).
+            mapping, n = cls._length_rank_ids(src, text_col)
+            if num_segments is None:
+                num_segments = max(1, -(-n // opts.docs_per_segment))
+            lo, span = 0, max(1, -(-n // num_segments))
+            strided = F.expr(f"(__newid % {int(num_segments)}) "
+                             f"* {int(span)}L "
+                             f"+ (__newid DIV {int(num_segments)})")
+            src = (src.join(mapping, src["__id"] == mapping["source_id"])
+                   .drop("__id")
+                   .withColumn("__id", strided)
+                   .drop("__newid"))
+            assume_full_id_range = False
+        elif assume_full_id_range and num_segments is not None:
             lo = -(2 ** 63)
             span = (2 ** 64) // num_segments
         else:
@@ -286,6 +354,8 @@ class Bm25Index:
         # pass and shuffle — the whole build is one scan of the source
         meta_cols = [c for c in docs.columns
                      if c not in ("__id", "__doc_id", id_col, text_col)]
+        if opts.reorder_docs == "length":
+            meta_cols = ["source_id"] + meta_cols
         postings = doc_term_arrays(src, text_col, "__id", opts,
                                    extra_cols=meta_cols, with_sha=True)
         # overflow-safe range bucketing: hashed ids span the full int64
@@ -391,6 +461,16 @@ class Bm25Index:
             out = out.select("doc_id", (-F.col("score")).alias("score")) \
                      .orderBy(F.asc("score"), F.asc("doc_id"))
         return out
+
+    def resolve(self, results: DataFrame) -> DataFrame:
+        """Attach the original document id (``source_id``) to a result
+        frame keyed by internal ``doc_id`` — needed after a
+        ``reorder_docs='length'`` build, a no-op alias join otherwise.
+        The (tiny) result side broadcasts; the docmap scans once."""
+        dm = self.docmap()
+        if "source_id" not in dm.columns:
+            return results.withColumn("source_id", F.col("doc_id"))
+        return results.join(dm.select("doc_id", "source_id"), "doc_id")
 
     def term_stats(self, terms: list[str]) -> DataFrame:
         from .query import term_stats

@@ -32,6 +32,11 @@ def append_batch(index, docs: DataFrame, text_col: str, id_col: str,
 
     manifest = index.manifest
     opts = manifest.opts
+    if opts.reorder_docs != "none":
+        raise ValueError(
+            "append to a reorder_docs index is not supported: appended "
+            "ids would break the dense length-ordered id space; rebuild "
+            "or use reorder_docs='none' for incremental indexes")
     if batch_id is not None and any(
             s.lineage.get("batch_id") == batch_id for s in manifest.segments):
         return []

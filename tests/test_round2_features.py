@@ -179,3 +179,81 @@ def test_uncompressed_segments_match(spark, mixed, tmp_path):
     comp.force_merge()
     assert rows(raw.search("alpha beta", k=10)) == \
         rows(comp.search("alpha beta", k=10))
+
+
+@pytest.fixture(scope="module")
+def natural(spark):
+    """Length-varied 'natural' corpus: lognormal doc lengths, the hot term
+    everywhere with tf proportional to length — the iid-id layout where
+    single-term block-max bounds are flat (VALIDATION.md analysis)."""
+    import numpy as np
+    rng = np.random.default_rng(13)
+    rows_ = []
+    for i in range(1, 4001):
+        length = int(np.clip(rng.lognormal(3.5, 0.8), 5, 400))
+        tf = (1 + (i * 7) % 17) if i % 3 == 0 else 0   # varied, sparse
+        words = ["alpha"] * min(tf, length - 1) + [
+            f"w{rng.integers(0, 500)}" for _ in range(max(1, length - tf))]
+        rows_.append((i, " ".join(words)))
+    return spark.createDataFrame(rows_, "id long, content string")
+
+
+def test_length_reorder_enables_single_term_pruning(spark, natural,
+                                                    tmp_path):
+    # one segment => the hot term's posting list spans ~11 blocks, enough
+    # for bound-ordered early termination to show (a 4-segment split
+    # leaves ~3 blocks/list, within the kernel's first decode batch)
+    plain = Bm25Index.build(spark, natural, "content",
+                            str(tmp_path / "plain"), id_col="id",
+                            opts=SIMPLE, num_segments=1)
+    ropts = Bm25Options(text_config="simple", reorder_docs="length")
+    reord = Bm25Index.build(spark, natural, "content",
+                            str(tmp_path / "reord"), id_col="id",
+                            opts=ropts, num_segments=1)
+    # identical score multisets (tie ORDER legitimately follows internal
+    # ids under reordering), and every returned doc's score is exact per
+    # the exhaustive scorer
+    for q in ["alpha", "alpha w1", "alpha w2 w3"]:
+        want = sorted(r["score"] for r in plain.search(q, k=10).collect())
+        res = reord.resolve(reord.search(q, k=10)).collect()
+        got = sorted(r["score"] for r in res)
+        assert got == want, q
+        exh = {r["doc_id"]: r["score"]
+               for r in score_exhaustive(spark, natural, "content", "id",
+                                         q, SIMPLE, k=None).collect()}
+        for r in res:
+            assert exh[r["source_id"]] == r["score"], (q, r)
+    # and the length-ordered layout actually prunes single-term decode
+    _, st_plain = plain.search_profiled("alpha", k=10)
+    _, st_reord = reord.search_profiled("alpha", k=10)
+    assert st_reord["blocks_total"] == st_plain["blocks_total"]
+    assert st_plain["blocks_decoded"] == st_plain["blocks_total"]
+    assert st_reord["blocks_decoded"] <= st_reord["blocks_total"] * 3 // 4, \
+        (st_plain, st_reord)
+
+
+def test_reorder_docmap_roundtrip_and_append_guard(spark, natural,
+                                                   tmp_path):
+    ropts = Bm25Options(text_config="simple", reorder_docs="length")
+    idx = Bm25Index.build(spark, natural.limit(300), "content",
+                          str(tmp_path / "r2"), id_col="id", opts=ropts,
+                          num_segments=2)
+    dm = idx.docmap()
+    assert dm.count() == 300
+    rows_ = dm.select("doc_id", "source_id").orderBy("doc_id").collect()
+    # dense ids 0..n-1 (strided across the 2 segments) ...
+    assert sorted(r["doc_id"] for r in rows_) == list(range(300))
+    # ... and within each segment's contiguous range, ids ascend in
+    # (byte length, source_id) order while sampling the full spectrum
+    blens = {r["id"]: r["b"] for r in natural.limit(300).select(
+        "id", F.octet_length("content").alias("b")).collect()}
+    glob = sorted(blens, key=lambda i: (blens[i], i))
+    rank = {sid: r for r, sid in enumerate(glob)}
+    span = 150
+    for seg in (0, 1):
+        seg_rows = [r for r in rows_ if seg * span <= r["doc_id"] < (seg + 1) * span]
+        ranks = [rank[r["source_id"]] for r in seg_rows]
+        assert ranks == sorted(ranks)               # length-ascending
+        assert all(rk % 2 == seg for rk in ranks)   # strided sampling
+    with pytest.raises(ValueError, match="reorder_docs"):
+        idx.append(natural.limit(10), "content", "id")
