@@ -223,6 +223,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mutate=lambda i: (i.delete(DELETED_IDS), i.vacuum())).search(
             Q_SINGLE, k=10)
 
+    # --- length-ordered doc-id layout (reorder_docs='length') ---
+    # full ranking (k='all') resolved back to source ids: scores are
+    # layout-independent, and with no k-cut the (score, source_id) order
+    # matches the standard oracle exactly
+    def _reordered(s, d):
+        idx = _cached_index(
+            s, d, "reordered",
+            Bm25Options(text_config="simple", reorder_docs="length"))
+        res = idx.resolve(idx.search(Q_SINGLE, k="all"))
+        return (res.select(F.col("source_id").alias("doc_id"), "score")
+                .orderBy(F.desc("score"), F.asc("doc_id")))
+    q["bm25_reordered_all"] = _reordered
+
     # --- custom k1/b index options (reference WITH (k1=..., b=...)) ---
     q["bm25_topk_k1b"] = lambda s, d: _cached_index(
         s, d, "k1b", Bm25Options(text_config="simple", k1=0.9, b=0.4)
@@ -335,6 +348,7 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
     o["bm25_topk_vacuumed"] = bm25_oracle.bm25_oracle_sql(
         Q_SINGLE, k=10,
         table=f"(SELECT * FROM documents WHERE doc_id NOT IN ({_del_ids}))")
+    o["bm25_reordered_all"] = bm25_oracle.bm25_oracle_sql(Q_SINGLE, k=None)
     o["bm25_topk_k1b"] = bm25_oracle.bm25_oracle_sql(
         Q_MULTI, k=10,
         opts=Bm25Options(text_config="simple", k1=0.9, b=0.4))
