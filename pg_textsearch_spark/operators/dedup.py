@@ -1,14 +1,19 @@
 """Deduplication operators for training-data pipelines.
 
-Five standard dedup families, each Spark-first (built-in expressions +
+The standard dedup families, each Spark-first (built-in expressions +
 shuffle-conscious join shapes) with a DuckDB oracle-SQL twin for the
 driver's correctness gate:
 
 - ``exact_dedup``          — sha256 hash-groupBy (exact duplicate clusters)
 - ``ngram_jaccard_pairs``  — word-n-gram shingle inverted-index self-join
+                             (``max_shingle_df`` hot-key cap = the scale guard)
 - ``minhash_signatures`` / ``minhash_candidate_pairs`` — MinHash + LSH banding
-- ``simhash``              — 32-bit SimHash over tf-weighted token hashes
-- ``embedding_dup_pairs``  — cosine near-duplicate pairs over embeddings
+- ``simhash`` / ``simhash_pairs`` — 32-bit SimHash + pigeonhole-exact banded
+                             hamming pair generation
+- ``embedding_dup_pairs``  — cosine near-duplicate pairs (exact baseline);
+  ``embedding_dup_pairs_blocked`` — sign-LSH banded candidate generation
+- ``dedup_clusters``       — connected components over any pair graph
+                             (min-label propagation; recursive-CTE twin)
 
 Determinism: all hashing is the md5-derived 32-bit hash (``hash32_col``)
 computable bit-identically in Spark and DuckDB — no engine-specific hash
