@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_quality"] = lambda s, d: textstats.quality_scores(_docs(s, d))
     q["text_langid"] = lambda s, d: textstats.lang_id(_docs(s, d))
     q["text_fingerprint"] = lambda s, d: textstats.fingerprints(_docs(s, d))
+    q["text_chunk_dups"] = lambda s, d: textstats.chunk_dup_stats(_docs(s, d))
 
     # --- dedup ---
     q["dedup_exact"] = lambda s, d: dedup.exact_dedup(_docs(s, d))
@@ -364,6 +365,7 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
     o["text_quality"] = textstats.quality_scores_oracle_sql()
     o["text_langid"] = textstats.lang_id_oracle_sql()
     o["text_fingerprint"] = textstats.fingerprints_oracle_sql()
+    o["text_chunk_dups"] = textstats.chunk_dup_stats_oracle_sql()
 
     o["dedup_exact"] = dedup.exact_dedup_oracle_sql()
     o["dedup_ngram_jaccard"] = dedup.ngram_jaccard_pairs_oracle_sql(threshold=0.2)

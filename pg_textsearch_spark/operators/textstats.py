@@ -289,3 +289,75 @@ SELECT doc_id, count(*)::BIGINT AS n_fingerprints, SUM(fp)::BIGINT AS fp_checksu
        MIN(fp) AS fp_min
 FROM fps GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# ------------------------------------------- chunk-level exact dedup stats
+
+CHUNK_WORDS = 16
+
+
+def chunk_dup_stats(docs: DataFrame, window: int = CHUNK_WORDS,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Exact substring-duplication stats per document: split each doc into
+    non-overlapping ``window``-word chunks (the Lee et al. 2022 exact
+    substring dedup shape, trailing partial chunk kept), mark a chunk
+    duplicated when the identical chunk text appears anywhere else in the
+    corpus (other docs OR repeated within the same doc = boilerplate /
+    self-repetition), and report (n_chunks, n_dup_chunks, dup_ratio_bp).
+
+    100 TB shape: the only shuffle is the chunk-hash groupBy for corpus
+    frequencies (map-side combinable) plus a doc_id re-aggregation — no
+    pairwise anything; this is the standard pre-filter before paying for
+    suffix-array/minhash passes."""
+    words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
+    base = docs.select(F.col(id_col).alias("doc_id"), words.alias("words"))
+    n_chunks = F.ceil(F.size("words") / F.lit(window)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.array_join(
+            F.slice(F.col("words"), (i - 1) * window + 1, window), " "))
+    ex = (base.filter(F.size("words") > 0)
+          .select("doc_id", F.explode(chunks).alias("chunk")))
+    freq = ex.groupBy("chunk").agg(F.count("*").alias("freq"))
+    per_doc = (ex.join(freq, "chunk")
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_chunks"),
+                    F.sum(F.when(F.col("freq") > 1, 1).otherwise(0))
+                    .cast("long").alias("n_dup_chunks")))
+    return (per_doc.select(
+        "doc_id", "n_chunks",
+        "n_dup_chunks",
+        F.floor(F.lit(10000) * F.col("n_dup_chunks") / F.col("n_chunks"))
+        .cast("long").alias("dup_ratio_bp"))
+        .orderBy("doc_id"))
+
+
+def chunk_dup_stats_oracle_sql(window: int = CHUNK_WORDS,
+                               table: str = "documents",
+                               text_col: str = "text",
+                               id_col: str = "doc_id") -> str:
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id,
+         regexp_extract_all(lower({text_col}), '{WORD_RE}') AS words
+  FROM {table}
+),
+ex AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, CAST(ceil(len(words) / {window}.0) AS INT) + 1),
+           i -> array_to_string(words[(i - 1) * {window} + 1 :
+                                      (i - 1) * {window} + {window}], ' ')
+         )) AS chunk
+  FROM base WHERE len(words) > 0
+),
+freq AS (SELECT chunk, count(*) AS freq FROM ex GROUP BY chunk)
+SELECT e.doc_id,
+       count(*)::INT AS n_chunks,
+       SUM(CASE WHEN f.freq > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+       FLOOR(10000 * SUM(CASE WHEN f.freq > 1 THEN 1 ELSE 0 END)
+             / count(*))::BIGINT AS dup_ratio_bp
+FROM ex e JOIN freq f USING (chunk)
+GROUP BY e.doc_id ORDER BY e.doc_id
+"""

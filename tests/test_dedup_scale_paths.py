@@ -162,3 +162,23 @@ def test_ivf_index_matches_adhoc_and_prunes(spark, embs, tmp_path):
     # probe filter must reach the directory layout as a partition filter
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cent_id" in plan
+
+
+# ------------------------------------------------ chunk-level dup stats
+
+def test_chunk_dup_stats(spark):
+    from pg_textsearch_spark.operators import textstats
+    boiler = " ".join(f"b{i}" for i in range(16))      # one full chunk
+    uniq = lambda d: " ".join(f"u{d}_{i}" for i in range(16))  # noqa: E731
+    docs = spark.createDataFrame(
+        [(1, boiler + " " + uniq(1)),     # chunks: [boiler, uniq1]
+         (2, boiler + " " + uniq(2)),     # boiler shared across docs
+         (3, uniq(3) + " " + uniq(3)),    # self-repetition
+         (4, "short tail only")],         # single partial chunk, unique
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"], r["dup_ratio_bp"])
+           for r in textstats.chunk_dup_stats(docs).collect()}
+    assert got[1] == (2, 1, 5000)
+    assert got[2] == (2, 1, 5000)
+    assert got[3] == (2, 2, 10000)        # within-doc repeat counts
+    assert got[4] == (1, 0, 0)
