@@ -38,6 +38,11 @@ class Bm25Options:
     # test/sql/compression.sql): False stores raw fixed-width posting
     # streams with the identical block/skip layout
     compress_segments: bool = True
+    # posting-stream codec: '' derives from compress_segments ('varbyte' /
+    # 'raw'); 'bitpack' selects per-block frame-of-reference bit packing —
+    # the parity codec for the reference's compressed format
+    # (src/segment/compression.c:199-259, flags format.h:241-245)
+    posting_codec: str = ""
     # document-id layout: 'none' keeps user/hashed ids; 'length' assigns
     # dense internal ids in ascending byte-length order (original ids kept
     # in the docmap as source_id). Length-ordered blocks give block-max
@@ -48,6 +53,8 @@ class Bm25Options:
 
     @property
     def codec(self) -> str:
+        if self.posting_codec:
+            return self.posting_codec
         return "varbyte" if self.compress_segments else "raw"
 
     def __post_init__(self) -> None:
@@ -59,6 +66,11 @@ class Bm25Options:
             raise ValueError("avgdl_mode must be 'raw' or 'quantized'")
         if self.reorder_docs not in ("none", "length"):
             raise ValueError("reorder_docs must be 'none' or 'length'")
+        if self.posting_codec not in ("", "varbyte", "raw", "bitpack"):
+            raise ValueError(
+                "posting_codec must be '', 'varbyte', 'raw' or 'bitpack'")
+        if self.posting_codec == "bitpack" and self.block_size > 256:
+            raise ValueError("bitpack requires block_size <= 256")
 
     def to_dict(self) -> dict:
         return asdict(self)

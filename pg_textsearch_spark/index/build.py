@@ -196,11 +196,29 @@ def make_packer(index_path: str, seg_ids: dict[int, str], opts: Bm25Options,
 
 # name -> index registry backing the reference's colon query-constructor
 # syntax ('index_name:query', src/types/query.c:194-225 — resolves the
-# index by name the way tpquery_in resolves a relation OID)
-_NAMED_INDEXES: dict[str, "Bm25Index"] = {}
+# index by name the way tpquery_in resolves a relation OID). Weak values:
+# the registry must not keep every index ever constructed alive, and a
+# dropped index's name becomes free again.
+import weakref
+
+_NAMED_INDEXES: "weakref.WeakValueDictionary[str, Bm25Index]" = \
+    weakref.WeakValueDictionary()
 
 
-def register_index(name: str, index: "Bm25Index") -> None:
+def register_index(name: str, index: "Bm25Index", _implicit: bool = False) -> None:
+    """Explicit registration overwrites silently; the implicit
+    directory-basename auto-registration warns when it rebinds a name that
+    still points at a DIFFERENT live index (two open indexes whose paths
+    share a basename), since search_tpquery would silently resolve to the
+    newer one."""
+    if _implicit:
+        prev = _NAMED_INDEXES.get(name)
+        if prev is not None and prev is not index and prev.path != index.path:
+            import warnings
+            warnings.warn(
+                f"index name {name!r} rebound from {prev.path!r} to "
+                f"{index.path!r}; use register_index() with a distinct "
+                "alias to keep both addressable", stacklevel=3)
     _NAMED_INDEXES[name] = index
 
 
@@ -233,7 +251,8 @@ class Bm25Index:
         self.spark = spark
         self.path = path
         self.manifest = Manifest.load(path)
-        register_index(os.path.basename(os.path.normpath(path)), self)
+        register_index(os.path.basename(os.path.normpath(path)), self,
+                       _implicit=True)
 
     # -- build (CREATE INDEX ... USING bm25) --------------------------------
     @staticmethod
@@ -255,7 +274,11 @@ class Bm25Index:
                                       F.lit(""))).alias("blen"))
         ordered = (slim.repartitionByRange(par, "blen", "source_id")
                    .sortWithinPartitions("blen", "source_id"))
-        ordered = ordered.persist()
+        # localCheckpoint (not persist): freezes partition contents so the
+        # collected per-partition counts and the later mapInPandas see the
+        # SAME rows, and the cached blocks are GC-reclaimed after the build
+        # instead of leaking in the CacheManager for the session lifetime
+        ordered = ordered.localCheckpoint(eager=True)
         counts = {r["pid"]: r["cnt"] for r in
                   ordered.withColumn("pid", F.spark_partition_id())
                   .groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
@@ -469,8 +492,18 @@ class Bm25Index:
         The (tiny) result side broadcasts; the docmap scans once."""
         dm = self.docmap()
         if "source_id" not in dm.columns:
-            return results.withColumn("source_id", F.col("doc_id"))
-        return results.join(dm.select("doc_id", "source_id"), "doc_id")
+            out = results.withColumn("source_id", F.col("doc_id"))
+        else:
+            out = results.join(dm.select("doc_id", "source_id"), "doc_id")
+        # the join does NOT preserve the input's sort; re-apply the result
+        # contract (score DESC, id ASC) on the PUBLIC id so callers see the
+        # same deterministic order search() promises
+        if "score" in out.columns:
+            order = [F.desc("score")]
+            if "query_id" in out.columns:
+                order = [F.asc("query_id")] + order
+            out = out.orderBy(*order, F.asc("source_id"))
+        return out
 
     def term_stats(self, terms: list[str]) -> DataFrame:
         from .query import term_stats
@@ -506,8 +539,28 @@ class Bm25Index:
 
     # -- deletions (reference VACUUM bulkdelete, M4-M6) ---------------------
     def delete(self, doc_ids) -> int:
+        """Tombstone documents. On a ``reorder_docs='length'`` index the
+        public ids are the SOURCE ids (what ``resolve()`` returns), so they
+        are mapped to internal strided doc_ids via the docmap first —
+        matching raw internal ids against user ids would silently tombstone
+        the wrong docs (or none)."""
         from .delete import delete_docs
+        if self.manifest.opts.reorder_docs == "length":
+            doc_ids = self._map_source_ids(doc_ids)
         return delete_docs(self, doc_ids)
+
+    def _map_source_ids(self, doc_ids) -> DataFrame:
+        """source_id -> internal doc_id via the docmap (reordered layouts).
+        Ids absent from the corpus map to nothing — same no-op semantics as
+        tombstoning a nonexistent id on the identity layout."""
+        dm = self.docmap().select(F.col("source_id").cast("long"),
+                                  F.col("doc_id").cast("long"))
+        if isinstance(doc_ids, DataFrame):
+            wanted = doc_ids.select(F.col("doc_id").cast("long")
+                                    .alias("source_id")).distinct()
+            return dm.join(F.broadcast(wanted), "source_id").select("doc_id")
+        ids = [int(i) for i in doc_ids]
+        return dm.filter(F.col("source_id").isin(ids)).select("doc_id")
 
     def vacuum(self) -> dict:
         from .delete import vacuum

@@ -126,6 +126,14 @@ def merge_segments(index, seg_records: list[SegmentRecord], out_level: int,
     # block decode — shard rows stay packed through the shuffle
     from .delete import load_deletes
     deleted = load_deletes(index)
+    # slice to the ids that can occur in THIS merge's inputs (the union of
+    # the input segments' doc-id ranges) — the broadcast scales with the
+    # churn of the merged slice, not the index-lifetime tombstone total
+    # (same locality the query path gets from deletes_by_segment)
+    if deleted.size:
+        s_lo = np.searchsorted(deleted, lo, side="left")
+        s_hi = np.searchsorted(deleted, hi, side="right")
+        deleted = deleted[s_lo:s_hi]
     deleted_bc = (spark.sparkContext.broadcast(deleted)
                   if deleted.size else None)
     deleted = deleted if deleted.size else None

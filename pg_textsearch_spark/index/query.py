@@ -106,6 +106,238 @@ def term_stats(index: "Bm25Index", terms: list[str]) -> DataFrame:
     return agg.select("term", "doc_freq", F.round(idf_col, 6).alias("idf"))
 
 
+class _TermReader:
+    """Lazily-decoding posting reader for ONE term within ONE segment.
+
+    Wraps the term's shard rows. Skip metadata gives a per-block score
+    upper bound; blocks decode on demand (random access via the skip
+    entries' byte offsets) into a per-block cache of
+    ``(doc_ids, unit_contrib)`` where ``unit_contrib =
+    tf*(k1+1)/(tf+denom)`` is the query-weight-INDEPENDENT BM25 factor —
+    so in a batched query one decode serves every query that touches the
+    term (the reference's shared posting cursor across a batch,
+    re-expressed as a decode cache). Tombstoned docs are masked at decode
+    time, before anything is cached, so thresholds only ever see alive
+    docs. ``counters['decoded']`` counts each block's decode exactly once
+    regardless of how many queries consume it.
+    """
+
+    __slots__ = ("rows", "block_size", "codec", "denom_norm", "k1",
+                 "deleted", "counters", "frow", "fbnd", "flast",
+                 "row_start", "row_nblocks", "n_blocks", "max_unit_bound",
+                 "bound_order", "_cache")
+
+    def __init__(self, rows: list[dict], block_size: int, codec: str,
+                 denom_norm: np.ndarray, k1: float,
+                 deleted: np.ndarray | None, counters: dict):
+        self.rows = rows
+        self.block_size = block_size
+        self.codec = codec
+        self.denom_norm = denom_norm
+        self.k1 = k1
+        self.deleted = deleted
+        self.counters = counters
+        frow, fbnd, flast, nblocks = [], [], [], []
+        for ri, r in enumerate(rows):
+            mn = np.asarray(r["skip_min_norm"], dtype=np.int64)
+            mt = np.asarray(r["skip_max_tf"], dtype=np.float64)
+            # block upper bound of the unit contribution (reference bound
+            # inputs block_max_tf + min fieldnorm, src/scoring/bmw.c:382-396)
+            fbnd.append((mt * (k1 + 1.0)) / (mt + denom_norm[mn]))
+            frow.append(np.full(mn.size, ri, dtype=np.int64))
+            flast.append(np.asarray(r["skip_last_doc_id"], dtype=np.int64))
+            nblocks.append(mn.size)
+        self.frow = np.concatenate(frow)
+        self.fbnd = np.concatenate(fbnd)
+        self.flast = np.concatenate(flast)
+        self.row_nblocks = nblocks
+        self.row_start = np.r_[np.int64(0),
+                               np.cumsum(np.asarray(nblocks, dtype=np.int64))]
+        self.n_blocks = int(self.fbnd.size)
+        self.max_unit_bound = float(self.fbnd.max())
+        # bound-descending decode order; ties broken by flat index ASC so
+        # progressive decode is deterministic
+        self.bound_order = np.lexsort((np.arange(self.n_blocks), -self.fbnd))
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def _ensure(self, flat_idx: np.ndarray) -> None:
+        missing = np.asarray([f for f in flat_idx if int(f) not in self._cache],
+                             dtype=np.int64)
+        if missing.size == 0:
+            return
+        missing = np.unique(missing)
+        rows_of = self.frow[missing]
+        for ri in np.unique(rows_of):
+            sel = missing[rows_of == ri]
+            local = sel - self.row_start[ri]
+            r = self.rows[int(ri)]
+            if local.size == self.row_nblocks[int(ri)]:
+                ids, tfs, norms = decode_row(r, self.block_size, self.codec)
+            else:
+                ids, tfs, norms = decode_row_blocks(r, local, self.codec)
+            self.counters["decoded"] += int(local.size)
+            tfd = tfs.astype(np.float64)
+            contrib = (tfd * (self.k1 + 1.0)) / (tfd + self.denom_norm[norms])
+            cnts = np.asarray(r["skip_doc_count"], dtype=np.int64)[local]
+            ends = np.cumsum(cnts)
+            starts = ends - cnts
+            dele = self.deleted
+            for f, s, e in zip(sel, starts, ends):
+                bi, bc = ids[s:e], contrib[s:e]
+                if dele is not None and dele.size and bi.size:
+                    pos = np.searchsorted(dele, bi)
+                    pos[pos >= dele.size] = dele.size - 1
+                    alive = dele[pos] != bi
+                    if not alive.all():
+                        bi, bc = bi[alive], bc[alive]
+                self._cache[int(f)] = (bi, bc)
+
+    def get(self, flat_idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, unit_contribs) concatenated over the given flat block
+        indices (decoded on demand, cache-reused)."""
+        self._ensure(flat_idx)
+        parts = [self._cache[int(f)] for f in np.sort(np.asarray(flat_idx))]
+        parts = [p for p in parts if p[0].size]
+        if not parts:
+            e = np.empty(0, dtype=np.int64)
+            return e, e.astype(np.float64)
+        return (np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]))
+
+    def candidate_contrib(self, cand_ids: np.ndarray) -> np.ndarray:
+        """Non-essential-phase lookup: unit contribution of each candidate
+        doc (0 where absent), decoding ONLY candidate-bearing blocks
+        (binary search over skip last_doc_ids — the reference's block seek,
+        src/segment/scan.c:448-500). ``cand_ids`` must be sorted."""
+        out = np.zeros(cand_ids.size, dtype=np.float64)
+        if cand_ids.size == 0:
+            return out
+        for ri, r in enumerate(self.rows):
+            sel = cand_ids[(cand_ids >= int(r["min_doc_id"]))
+                           & (cand_ids <= int(r["last_doc_id"]))]
+            if sel.size == 0:
+                continue
+            lasts = self.flast[self.row_start[ri]:self.row_start[ri + 1]]
+            blocks = np.unique(np.searchsorted(lasts, sel, side="left"))
+            ids, cs = self.get(blocks + self.row_start[ri])
+            if not ids.size:
+                continue
+            # within one shard row blocks are doc-id-sorted, so ids is sorted
+            pos = np.searchsorted(ids, sel)
+            hit = pos < ids.size
+            hit[hit] = ids[pos[hit]] == sel[hit]
+            if hit.any():
+                idx = np.searchsorted(cand_ids, sel[hit])
+                out[idx] += cs[pos[hit]]
+        return out
+
+
+def _accumulate(id_parts: list, sc_parts: list):
+    all_ids = np.concatenate(id_parts)
+    all_sc = np.concatenate(sc_parts)
+    uniq, inv = np.unique(all_ids, return_inverse=True)
+    scores = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(scores, inv, all_sc)
+    counts = np.zeros(uniq.size, dtype=np.int64)
+    np.add.at(counts, inv, 1)
+    return uniq, scores, counts
+
+
+def _run_maxscore(readers: dict[str, _TermReader], weights: dict[str, float],
+                  k: int | None, eps: float):
+    """Exact MaxScore + block-max top-k over lazily-decoded term readers.
+
+    The engine's BMW core (reference src/scoring/bmw.c:469-642 single-term,
+    1477-1716 multi-term), term-at-a-time over columnar blocks:
+
+    - the FIRST term in MaxScore order decodes progressively: blocks in
+      descending bound order, doubling batches, stopping once the next
+      block's bound plus the other terms' bounds cannot beat the running
+      kth contribution;
+    - each LATER essential term decodes only blocks whose bound plus the
+      other terms' bounds can beat the kth accumulated partial score;
+    - once the remaining terms' summed bounds cannot beat the kth partial
+      score, the non-essential phase decodes only candidate-bearing blocks.
+
+    All thresholds carry ``eps`` slack so pruning never disturbs ties at
+    the ROUNDED-score boundary. Returns (uniq_ids, scores, partial_counts)
+    or None when no postings survive.
+    """
+    bounds = {t: weights[t] * r.max_unit_bound for t, r in readers.items()}
+    order = sorted(readers, key=lambda t: (-bounds[t], t))
+    total_bound = sum(bounds.values())
+    id_parts, sc_parts = [], []
+    uniq = scores = counts = None
+    nonessential_from = len(order)
+    remaining = total_bound
+    for i, t in enumerate(order):
+        rd = readers[t]
+        w = weights[t]
+        other = total_bound - bounds[t]
+        if i == 0:
+            bo, fb = rd.bound_order, rd.fbnd
+            total = bo.size
+            ids_p, sc_p = [], []
+            n_seen, pos, batch = 0, 0, 4
+            while pos < total:
+                take = min(batch, total - pos)
+                ids, cs = rd.get(bo[pos:pos + take])
+                if ids.size:
+                    ids_p.append(ids)
+                    sc_p.append(cs * w)
+                    n_seen += ids.size
+                pos += take
+                batch = min(batch * 2, 1024)
+                if pos >= total or k is None or n_seen < k:
+                    continue
+                allc = np.concatenate(sc_p)
+                kth = np.partition(allc, allc.size - k)[allc.size - k]
+                if w * fb[bo[pos]] + other < kth - eps:
+                    break
+            if ids_p:
+                id_parts.append(np.concatenate(ids_p))
+                sc_parts.append(np.concatenate(sc_p))
+        else:
+            if id_parts:
+                u, sc, cn = _accumulate(id_parts, sc_parts)
+            else:  # earlier terms contributed nothing (e.g. all tombstoned)
+                u = np.empty(0, dtype=np.int64)
+                sc = np.empty(0, dtype=np.float64)
+                cn = np.empty(0, dtype=np.int64)
+            kth = None
+            if k is not None and sc.size >= k:
+                kth = np.partition(sc, sc.size - k)[sc.size - k]
+                if remaining < kth - eps:
+                    uniq, scores, counts = u, sc, cn
+                    nonessential_from = i
+                    break
+            if kth is None:
+                sel = np.arange(rd.n_blocks, dtype=np.int64)
+            else:
+                sel = np.flatnonzero(w * rd.fbnd + other >= kth - eps)
+            if sel.size:
+                ids, cs = rd.get(sel)
+                if ids.size:
+                    id_parts.append(ids)
+                    sc_parts.append(cs * w)
+        remaining -= bounds[t]
+    if not id_parts or not any(a.size for a in id_parts):
+        return None
+    if uniq is None:
+        uniq, scores, counts = _accumulate(id_parts, sc_parts)
+    if nonessential_from < len(order):
+        rem_terms = order[nonessential_from:]
+        rem_bound = sum(bounds[t] for t in rem_terms)
+        kth = np.partition(scores, scores.size - k)[scores.size - k]
+        cand_mask = scores + rem_bound >= kth - eps
+        cand_ids = uniq[cand_mask]
+        for t in rem_terms:
+            add = readers[t].candidate_contrib(cand_ids)
+            scores[cand_mask] += add * weights[t]
+        # counts are partial under pruning; only used for 'and' (no prune)
+    return uniq, scores, counts
+
+
 def make_segment_kernel(qfreqs: dict[str, float], n_docs: int,
                         k: int | None, opts: Bm25Options, avgdl: float,
                         mode: str, phrase_occs: list[tuple[str, int]] | None,
@@ -166,23 +398,24 @@ def make_segment_kernel(qfreqs: dict[str, float], n_docs: int,
             weights = {t: qfreqs[t] * idf(n_docs, int(rows_[0]["gdf"]))
                        for t, rows_ in per_term.items()}
 
-        # per-block upper bounds from skip metadata (block_max_tf + min
-        # fieldnorm — the reference's bound inputs, bmw.c:382-396 applied
-        # to the block maxima recorded at pack time); term bound = max
-        blk_bounds: dict[str, list[np.ndarray]] = {}
-        bounds: dict[str, float] = {}
-        blocks_total = 0
+        blocks_total = sum(int(r["num_blocks"])
+                           for rows_ in per_term.values() for r in rows_)
         counters = {"decoded": 0}
-        for t, rows in per_term.items():
-            w = weights[t]
-            bl = []
-            for r in rows:
-                mn = np.asarray(r["skip_min_norm"], dtype=np.int64)
-                mt = np.asarray(r["skip_max_tf"], dtype=np.float64)
-                bl.append(w * (mt * (k1 + 1.0)) / (mt + denom_norm[mn]))
-                blocks_total += mn.size
-            blk_bounds[t] = bl
-            bounds[t] = float(max(a.max() for a in bl))
+
+        def finish(out: pd.DataFrame) -> pd.DataFrame:
+            """Attach profile columns; ALWAYS emit one sentinel row
+            (n_terms = -1) per segment so counters survive even when every
+            doc was pruned (search_profiled splits sentinels back out)."""
+            if not profile:
+                return out
+            sent = pd.DataFrame({"doc_id": np.array([-1], dtype=np.int64),
+                                 "raw_score": np.array([0.0]),
+                                 "n_terms": np.array([-1], dtype=np.int32)})
+            out = pd.concat([out, sent], ignore_index=True) if len(out) else sent
+            out["segment_id"] = seg_id
+            out["blocks_decoded"] = np.int64(counters["decoded"])
+            out["blocks_total"] = np.int64(blocks_total)
+            return out[out_cols]
 
         def mask_deleted(ids, tfs, norms, poss_l=None):
             if deleted is None or not deleted.size or not ids.size:
@@ -212,142 +445,32 @@ def make_segment_kernel(qfreqs: dict[str, float], n_docs: int,
             norms = np.concatenate(norms_l)
             return mask_deleted(ids, tfs, norms, poss_l)
 
-        def decode_term_masked(t, threshold, other_bound):
-            """Decode only blocks whose bound can beat ``threshold``."""
-            ids_l, tfs_l, norms_l = [], [], []
-            for r, bnds in zip(per_term[t], blk_bounds[t]):
-                sel = np.flatnonzero(bnds + other_bound >= threshold - eps)
-                if sel.size == 0:
-                    continue
-                if sel.size == bnds.size:
-                    ids, tfs, norms = decode_row(r, opts.block_size, opts.codec)
-                else:
-                    ids, tfs, norms = decode_row_blocks(r, sel, opts.codec)
-                counters["decoded"] += int(sel.size)
-                ids_l.append(ids)
-                tfs_l.append(tfs.astype(np.float64))
-                norms_l.append(norms)
-            if not ids_l:
-                e = np.empty(0, dtype=np.int64)
-                return e, e.astype(np.float64), e, None
-            ids = np.concatenate(ids_l)
-            tfs = np.concatenate(tfs_l)
-            norms = np.concatenate(norms_l)
-            return mask_deleted(ids, tfs, norms)
-
-        def decode_term_progressive(t, other_bound):
-            """First-term (or single-term) block-max early termination:
-            decode blocks in descending bound order, in doubling batches,
-            stopping once the next bound + other terms' bounds cannot beat
-            the kth contribution seen so far. Returns (ids, contribs)."""
-            w = weights[t]
-            rows = per_term[t]
-            flat_row, flat_blk, flat_bnd = [], [], []
-            for ri, bnds in enumerate(blk_bounds[t]):
-                flat_row.append(np.full(bnds.size, ri, dtype=np.int64))
-                flat_blk.append(np.arange(bnds.size, dtype=np.int64))
-                flat_bnd.append(bnds)
-            frow = np.concatenate(flat_row)
-            fblk = np.concatenate(flat_blk)
-            fbnd = np.concatenate(flat_bnd)
-            # deterministic order: bound DESC, then (row, block) ASC
-            order_b = np.lexsort((fblk, frow, -fbnd))
-            frow, fblk, fbnd = frow[order_b], fblk[order_b], fbnd[order_b]
-
-            ids_parts, sc_parts = [], []
-            n_seen = 0
-            pos = 0
-            batch = 4
-            total = fbnd.size
-            while pos < total:
-                take = min(batch, total - pos)
-                sel_r, sel_b = frow[pos:pos + take], fblk[pos:pos + take]
-                for ri in np.unique(sel_r):
-                    blks = np.sort(sel_b[sel_r == ri])
-                    r = rows[int(ri)]
-                    if blks.size == int(r["num_blocks"]):
-                        ids, tfs, norms = decode_row(r, opts.block_size, opts.codec)
-                    else:
-                        ids, tfs, norms = decode_row_blocks(r, blks,
-                                                            opts.codec)
-                    counters["decoded"] += int(blks.size)
-                    ids, tfs, norms, _ = mask_deleted(
-                        ids, tfs.astype(np.float64), norms)
-                    if ids.size:
-                        contrib = (w * (tfs * (k1 + 1.0))
-                                   / (tfs + denom_norm[norms]))
-                        ids_parts.append(ids)
-                        sc_parts.append(contrib)
-                        n_seen += ids.size
-                pos += take
-                batch = min(batch * 2, 1024)
-                if pos >= total or k is None or n_seen < k:
-                    continue
-                allc = np.concatenate(sc_parts)
-                kth = np.partition(allc, allc.size - k)[allc.size - k]
-                if fbnd[pos] + other_bound < kth - eps:
-                    break
-            if not ids_parts:
-                e = np.empty(0, dtype=np.int64)
-                return e, e.astype(np.float64)
-            return np.concatenate(ids_parts), np.concatenate(sc_parts)
-
-        # Vectorized MaxScore (exact): process terms in descending bound
-        # order, accumulating full contributions ("essential" phase) with
-        # the per-block skipping above. Once the summed bounds of the
-        # remaining terms cannot beat the running kth-best partial score,
-        # switch to the "non-essential" phase: only docs already
-        # accumulated can still make top-k, so for each remaining term
-        # decode ONLY the blocks containing candidate docs (random access
-        # via skip offsets) and add their contributions. Strict
-        # eps-slackened inequalities keep rounded-score ties exact (the
-        # reference breaks ties by doc id, bmw.c:297-319).
-        order = sorted(per_term, key=lambda t: (-bounds[t], t))
         can_prune = mode == "or" and k is not None and phrase_occs is None
 
-        id_parts, sc_parts = [], []
-        pos_parts: dict[str, tuple[np.ndarray, list]] = {}
-
-        def accumulate():
-            all_ids = np.concatenate(id_parts)
-            all_sc = np.concatenate(sc_parts)
-            uniq, inv = np.unique(all_ids, return_inverse=True)
-            scores = np.zeros(uniq.size, dtype=np.float64)
-            np.add.at(scores, inv, all_sc)
-            counts = np.zeros(uniq.size, dtype=np.int64)
-            np.add.at(counts, inv, 1)
-            return uniq, scores, counts
-
-        uniq = scores = counts = None
-        nonessential_from = len(order)
         if can_prune:
-            total_bound = sum(bounds.values())
-            remaining = total_bound
-            for i, t in enumerate(order):
-                other = total_bound - bounds[t]
-                if i == 0:
-                    ids, contrib = decode_term_progressive(t, other)
-                    id_parts.append(ids)
-                    sc_parts.append(contrib)
-                else:
-                    u, sc, cn = accumulate()
-                    kth = None
-                    if sc.size >= k:
-                        kth = np.partition(sc, sc.size - k)[sc.size - k]
-                        if remaining < kth - eps:
-                            uniq, scores, counts = u, sc, cn
-                            nonessential_from = i
-                            break
-                    w = weights[t]
-                    if kth is None:
-                        ids, tfs, norms, _p = decode_term_full(t)
-                    else:
-                        ids, tfs, norms, _p = decode_term_masked(t, kth, other)
-                    contrib = w * (tfs * (k1 + 1.0)) / (tfs + denom_norm[norms])
-                    id_parts.append(ids)
-                    sc_parts.append(contrib)
-                remaining -= bounds[t]
+            # MaxScore + block-max over lazily-decoded readers (shared
+            # implementation with search_batch — _run_maxscore)
+            readers = {t: _TermReader(rows_, opts.block_size, opts.codec,
+                                      denom_norm, k1, deleted, counters)
+                       for t, rows_ in per_term.items()}
+            res = _run_maxscore(readers, weights, k, eps)
+            if res is None:
+                return finish(empty[["doc_id", "raw_score", "n_terms"]]
+                              if profile else empty)
+            uniq, scores, counts = res
         else:
+            # exhaustive accumulation ('and' needs exact per-doc term
+            # counts; phrase needs the positions of every matched doc)
+            bounds = {t: weights[t] * max(
+                float(np.max(np.asarray(r["skip_max_tf"], dtype=np.float64)
+                             * (k1 + 1.0)
+                             / (np.asarray(r["skip_max_tf"], dtype=np.float64)
+                                + denom_norm[np.asarray(r["skip_min_norm"],
+                                                        dtype=np.int64)])))
+                for r in rows_) for t, rows_ in per_term.items()}
+            order = sorted(per_term, key=lambda t: (-bounds[t], t))
+            id_parts, sc_parts = [], []
+            pos_parts: dict[str, tuple[np.ndarray, list]] = {}
             for t in order:
                 w = weights[t]
                 ids, tfs, norms, poss_l = decode_term_full(t)
@@ -356,32 +479,16 @@ def make_segment_kernel(qfreqs: dict[str, float], n_docs: int,
                 sc_parts.append(contrib)
                 if phrase_occs is not None:
                     pos_parts[t] = (ids, poss_l)
-
-        if not id_parts or not any(a.size for a in id_parts):
-            return empty
-        if uniq is None:
-            uniq, scores, counts = accumulate()
-
-        if nonessential_from < len(order):
-            # candidates: accumulated docs that can still reach the kth-best
-            rem_terms = order[nonessential_from:]
-            rem_bound = sum(bounds[t] for t in rem_terms)
-            kth = np.partition(scores, scores.size - k)[scores.size - k]
-            cand_mask = scores + rem_bound >= kth - eps
-            cand_ids = uniq[cand_mask]
-            for t in rem_terms:
-                add = _candidate_contrib(per_term[t], cand_ids, weights[t],
-                                         denom_norm, k1, deleted, counters,
-                                         opts.codec)
-                scores[cand_mask] += add
-            # counts are partial under pruning; only used for 'and' (no prune)
-
-        keep = np.ones(uniq.size, dtype=bool)
-        if mode == "and":
-            keep = counts >= n_qterms
-        elif mode == "phrase":
-            keep = _phrase_filter(uniq, pos_parts, phrase_occs)
-        uniq, scores, counts = uniq[keep], scores[keep], counts[keep]
+            if not id_parts or not any(a.size for a in id_parts):
+                return finish(empty[["doc_id", "raw_score", "n_terms"]]
+                              if profile else empty)
+            uniq, scores, counts = _accumulate(id_parts, sc_parts)
+            keep = np.ones(uniq.size, dtype=bool)
+            if mode == "and":
+                keep = counts >= n_qterms
+            elif mode == "phrase":
+                keep = _phrase_filter(uniq, pos_parts, phrase_occs)
+            uniq, scores, counts = uniq[keep], scores[keep], counts[keep]
 
         if k is not None and uniq.size > k:
             # local top-k with (ROUNDED score desc, doc_id asc) tie order —
@@ -392,53 +499,9 @@ def make_segment_kernel(qfreqs: dict[str, float], n_docs: int,
         out = pd.DataFrame({"doc_id": uniq.astype(np.int64),
                             "raw_score": scores,
                             "n_terms": counts.astype(np.int32)})
-        if profile:
-            out["segment_id"] = seg_id
-            out["blocks_decoded"] = np.int64(counters["decoded"])
-            out["blocks_total"] = np.int64(blocks_total)
-        return out
+        return finish(out)
 
     return kernel
-
-
-def _candidate_contrib(rows, cand_ids: np.ndarray, w: float,
-                       denom_norm: np.ndarray, k1: float,
-                       deleted: np.ndarray | None = None,
-                       counters: dict | None = None,
-                       codec: str = "varbyte") -> np.ndarray:
-    """Non-essential term lookup: decode only the blocks that can contain a
-    candidate doc (binary search over skip last_doc_ids — the reference's
-    block seek, src/segment/scan.c:448-500) and return each candidate's
-    contribution (0 where absent)."""
-    out = np.zeros(cand_ids.size, dtype=np.float64)
-    if cand_ids.size == 0:
-        return out
-    for r in rows:
-        lasts = np.asarray(r["skip_last_doc_id"], dtype=np.int64)
-        sel = cand_ids[(cand_ids >= int(r["min_doc_id"]))
-                       & (cand_ids <= int(r["last_doc_id"]))]
-        if sel.size == 0:
-            continue
-        blocks = np.unique(np.searchsorted(lasts, sel, side="left"))
-        if counters is not None:
-            counters["decoded"] += int(blocks.size)
-        ids, tfs, norms = decode_row_blocks(r, blocks, codec)
-        if deleted is not None and deleted.size and ids.size:
-            pos_d = np.searchsorted(deleted, ids)
-            pos_d[pos_d >= deleted.size] = deleted.size - 1
-            alive = deleted[pos_d] != ids
-            ids, tfs, norms = ids[alive], tfs[alive], norms[alive]
-        if not ids.size:
-            continue
-        pos = np.searchsorted(ids, sel)
-        hit = (pos < ids.size)
-        hit[hit] = ids[pos[hit]] == sel[hit]
-        if hit.any():
-            tfd = tfs.astype(np.float64)
-            c = w * (tfd * (k1 + 1.0)) / (tfd + denom_norm[norms])
-            idx = np.searchsorted(cand_ids, sel[hit])
-            out[idx] += c[pos[hit]]
-    return out
 
 
 def _phrase_filter(uniq_ids: np.ndarray,
@@ -576,16 +639,123 @@ def search_profiled(index: "Bm25Index", query: str, k: int | None | str = 10,
                               "score": pd.Series(dtype="float64")}),
                 {"blocks_decoded": 0, "blocks_total": 0, "segments": 0})
     pdf = local.toPandas()
-    seg = pdf.drop_duplicates("segment_id")
+    # every segment kernel emits exactly one sentinel row (n_terms == -1)
+    # carrying its counters — segments whose docs were ALL pruned still
+    # report, so stats never undercount
+    seg = pdf[pdf["n_terms"] == -1]
     stats = {"blocks_decoded": int(seg["blocks_decoded"].sum()),
              "blocks_total": int(seg["blocks_total"].sum()),
              "segments": int(len(seg))}
+    pdf = pdf[pdf["n_terms"] != -1]
     pdf = pdf.assign(score=pdf["raw_score"].round(round_to))
     pdf = pdf.sort_values(["score", "doc_id"], ascending=[False, True])
     if k is not None:
         pdf = pdf.head(k)
     index.last_bmw_stats = stats
     return pdf[["doc_id", "score"]].reset_index(drop=True), stats
+
+
+def _search_batch_local(index: "Bm25Index", queries: list[str], k: int,
+                        round_to: int, profile: bool):
+    """Shared plan builder for batched retrieval: per-segment kernel output
+    (query_id, doc_id, raw_score[, profile cols]) or None for empty input."""
+    opts = index.manifest.opts
+    n = index.manifest.total_docs
+    avgdl = max(index.manifest.avgdl, 1e-9)
+    k1, b = float(opts.k1), float(opts.b)
+    block_size = opts.block_size
+    codec = opts.codec
+    eps = 10.0 ** (-round_to)
+
+    per_query: list[list[tuple[str, float]]] = []
+    all_terms: set[str] = set()
+    for q in queries:
+        qt = tokenize_query(q, opts.text_config)
+        per_query.append([(t, float(f)) for t, f in qt])
+        all_terms.update(t for t, _ in qt)
+    if not all_terms:
+        return None
+
+    from .delete import tombstone_broadcast
+    deleted_bc = tombstone_broadcast(index)
+
+    norm_len = DECODE_TABLE.astype(np.float64)
+    denom_norm = k1 * (1.0 - b + b * norm_len / avgdl)
+
+    out_schema = "query_id int, doc_id long, raw_score double"
+    if profile:
+        out_schema += ", segment_id string, blocks_decoded long, blocks_total long"
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        seg_id = str(key[0])
+        empty_cols = {"query_id": np.empty(0, np.int32),
+                      "doc_id": np.empty(0, np.int64),
+                      "raw_score": np.empty(0, np.float64)}
+        deleted = None
+        if deleted_bc is not None:
+            dmap = getattr(deleted_bc, "value", deleted_bc)
+            deleted = dmap.get(seg_id) if dmap else None
+
+        # ONE lazily-decoding reader per term, SHARED across all queries of
+        # the batch: the per-query MaxScore/block-max passes below decide
+        # which blocks each query needs; a block decodes at most once per
+        # segment no matter how many queries touch its term. This is the
+        # per-query early termination the reference's BMW gives its batch
+        # loop (src/scoring/bmw.c:1477-1716), grafted onto a shared decode
+        # cache so the batch amortization is kept too.
+        counters = {"decoded": 0}
+        per_term: dict[str, list[dict]] = {}
+        for rec in pdf.sort_values(["term", "shard"]).to_dict("records"):
+            per_term.setdefault(rec["term"], []).append(rec)
+        gdf = {t: int(rows_[0]["gdf"]) for t, rows_ in per_term.items()}
+        blocks_total = sum(int(r["num_blocks"])
+                           for rows_ in per_term.values() for r in rows_)
+        readers = {t: _TermReader(rows_, block_size, codec, denom_norm, k1,
+                                  deleted, counters)
+                   for t, rows_ in per_term.items()}
+
+        out_q, out_id, out_sc = [], [], []
+        for qi, qterms in enumerate(per_query):
+            sub = {t: readers[t] for t, _ in qterms if t in readers}
+            if not sub:
+                continue
+            weights = {t: qf * idf(n, gdf[t]) for t, qf in qterms
+                       if t in readers}
+            res = _run_maxscore(sub, weights, k, eps)
+            if res is None:
+                continue
+            uniq, scores, _counts = res
+            if uniq.size > k:
+                # cut by ROUNDED score (mirrors search_index + the oracle)
+                sel = np.lexsort((uniq, -np.round(scores, round_to)))[:k]
+                uniq, scores = uniq[sel], scores[sel]
+            out_q.append(np.full(uniq.size, qi, dtype=np.int32))
+            out_id.append(uniq)
+            out_sc.append(scores)
+        if out_q:
+            out = pd.DataFrame({"query_id": np.concatenate(out_q),
+                                "doc_id": np.concatenate(out_id),
+                                "raw_score": np.concatenate(out_sc)})
+        else:
+            out = pd.DataFrame(empty_cols)
+        if profile:
+            sent = pd.DataFrame({"query_id": np.array([-1], dtype=np.int32),
+                                 "doc_id": np.array([-1], dtype=np.int64),
+                                 "raw_score": np.array([0.0])})
+            out = pd.concat([out, sent], ignore_index=True) if len(out) else sent
+            out["segment_id"] = seg_id
+            out["blocks_decoded"] = np.int64(counters["decoded"])
+            out["blocks_total"] = np.int64(blocks_total)
+        return out
+
+    postings = _read_postings(index, sorted(all_terms))
+    postings = postings.drop(*[c for c in ("pos_counts_bin",
+                                           "pos_deltas_bin")
+                               if c in postings.columns])
+    from pyspark.sql import Window
+    rows = postings.withColumn(
+        "gdf", F.sum("doc_freq").over(Window.partitionBy("term")))
+    return rows.groupBy("segment_id").applyInPandas(kernel, out_schema)
 
 
 def search_batch(index: "Bm25Index", queries: list[str], k: int = 10,
@@ -596,108 +766,20 @@ def search_batch(index: "Bm25Index", queries: list[str], k: int = 10,
     connection (BASELINE.md single-client batch); per-query Spark jobs pay
     ~0.5-1 s of scheduling each, so batched retrieval is the
     throughput-correct shape on a cluster: union the query terms, scan the
-    index once, decode each term once per segment, accumulate per query,
-    and take all per-query global top-ks with a single window.
+    index once, then run per-query MaxScore + block-max early termination
+    against a shared per-term decode cache (each block decodes at most once
+    per segment), and take all per-query global top-ks with a single window.
 
     Returns (query_id, doc_id, score) with query_id = position in
     ``queries``, ordered by (query_id, score DESC, doc_id ASC). All cuts
     (per-segment and global) order by the ROUNDED score, mirroring
     ``search_index`` and the oracle, so k-boundary ties agree.
     """
-    spark = index.spark
-    opts = index.manifest.opts
-    n = index.manifest.total_docs
-    avgdl = max(index.manifest.avgdl, 1e-9)
-    k1, b = float(opts.k1), float(opts.b)
-    block_size = opts.block_size
-    codec = opts.codec
-
-    per_query: list[list[tuple[str, float]]] = []
-    all_terms: set[str] = set()
-    for q in queries:
-        qt = tokenize_query(q, opts.text_config)
-        per_query.append([(t, float(f)) for t, f in qt])
-        all_terms.update(t for t, _ in qt)
-    if not all_terms:
-        return spark.createDataFrame([], "query_id int, doc_id long, score double")
-
-    from .delete import tombstone_broadcast
-    deleted_bc = tombstone_broadcast(index)
-
-    norm_len = DECODE_TABLE.astype(np.float64)
-    denom_norm = k1 * (1.0 - b + b * norm_len / avgdl)
-
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        seg_id = str(key[0])
-        out_q, out_id, out_sc = [], [], []
-        if len(pdf) == 0:
-            return pd.DataFrame({"query_id": np.empty(0, np.int32),
-                                 "doc_id": np.empty(0, np.int64),
-                                 "raw_score": np.empty(0, np.float64)})
-        deleted = None
-        if deleted_bc is not None:
-            dmap = getattr(deleted_bc, "value", deleted_bc)
-            deleted = dmap.get(seg_id) if dmap else None
-        # decode each term ONCE
-        gdf: dict[str, int] = {}
-        decoded: dict[str, tuple] = {}
-        for t, grp in pdf.sort_values(["term", "shard"]).groupby("term", sort=False):
-            ids_l, tfs_l, norms_l = [], [], []
-            for r in grp.to_dict("records"):
-                ids, tfs, norms = decode_row(r, block_size, codec)
-                ids_l.append(ids); tfs_l.append(tfs); norms_l.append(norms)
-            ids = np.concatenate(ids_l)
-            tfs = np.concatenate(tfs_l).astype(np.float64)
-            norms = np.concatenate(norms_l)
-            if deleted is not None and deleted.size:
-                pos = np.searchsorted(deleted, ids)
-                pos[pos >= deleted.size] = deleted.size - 1
-                alive = deleted[pos] != ids
-                ids, tfs, norms = ids[alive], tfs[alive], norms[alive]
-            contrib = (tfs * (k1 + 1.0)) / (tfs + denom_norm[norms])
-            decoded[t] = (ids, contrib)
-            gdf[t] = int(grp["gdf"].iloc[0])
-
-        for qi, qterms in enumerate(per_query):
-            parts_i, parts_c = [], []
-            for t, qf in qterms:
-                if t not in decoded:
-                    continue
-                ids, contrib = decoded[t]
-                w = qf * idf(n, gdf[t])
-                parts_i.append(ids)
-                parts_c.append(contrib * w)
-            if not parts_i:
-                continue
-            all_ids = np.concatenate(parts_i)
-            all_sc = np.concatenate(parts_c)
-            uniq, inv = np.unique(all_ids, return_inverse=True)
-            scores = np.zeros(uniq.size, dtype=np.float64)
-            np.add.at(scores, inv, all_sc)
-            if uniq.size > k:
-                # cut by rounded score (see docstring)
-                sel = np.lexsort((uniq, -np.round(scores, round_to)))[:k]
-                uniq, scores = uniq[sel], scores[sel]
-            out_q.append(np.full(uniq.size, qi, dtype=np.int32))
-            out_id.append(uniq)
-            out_sc.append(scores)
-        if not out_q:
-            return pd.DataFrame({"query_id": np.empty(0, np.int32),
-                                 "doc_id": np.empty(0, np.int64),
-                                 "raw_score": np.empty(0, np.float64)})
-        return pd.DataFrame({"query_id": np.concatenate(out_q),
-                             "doc_id": np.concatenate(out_id),
-                             "raw_score": np.concatenate(out_sc)})
-
-    postings = _read_postings(index, sorted(all_terms))
-    postings = postings.drop(*[c for c in ("pos_counts_bin",
-                                           "pos_deltas_bin")
-                               if c in postings.columns])
+    local = _search_batch_local(index, queries, k, round_to, profile=False)
+    if local is None:
+        return index.spark.createDataFrame(
+            [], "query_id int, doc_id long, score double")
     from pyspark.sql import Window
-    rows = postings.withColumn(
-        "gdf", F.sum("doc_freq").over(Window.partitionBy("term")))
-    local = rows.groupBy("segment_id").applyInPandas(
-        kernel, "query_id int, doc_id long, raw_score double")
     w = (Window.partitionBy("query_id")
          .orderBy(F.desc(F.round(F.col("raw_score"), round_to)),
                   F.asc("doc_id")))
@@ -706,3 +788,30 @@ def search_batch(index: "Bm25Index", queries: list[str], k: int = 10,
             .select("query_id", "doc_id",
                     F.round(F.col("raw_score"), round_to).alias("score"))
             .orderBy("query_id", F.desc("score"), F.asc("doc_id")))
+
+
+def search_batch_profiled(index: "Bm25Index", queries: list[str], k: int = 10,
+                          round_to: int = 4):
+    """Eager batched search returning (pandas frame, BMW stats) — the batch
+    counterpart of :func:`search_profiled`. Counters count each block's
+    decode once per segment (shared across the batch's queries), so
+    ``blocks_decoded < blocks_total`` demonstrates batch-path pruning."""
+    local = _search_batch_local(index, queries, k, round_to, profile=True)
+    if local is None:
+        return (pd.DataFrame({"query_id": pd.Series(dtype="int32"),
+                              "doc_id": pd.Series(dtype="int64"),
+                              "score": pd.Series(dtype="float64")}),
+                {"blocks_decoded": 0, "blocks_total": 0, "segments": 0})
+    pdf = local.toPandas()
+    seg = pdf[pdf["query_id"] == -1]
+    stats = {"blocks_decoded": int(seg["blocks_decoded"].sum()),
+             "blocks_total": int(seg["blocks_total"].sum()),
+             "segments": int(len(seg))}
+    pdf = pdf[pdf["query_id"] != -1]
+    pdf = pdf.assign(score=pdf["raw_score"].round(round_to))
+    pdf = pdf.sort_values(["query_id", "score", "doc_id"],
+                          ascending=[True, False, True])
+    pdf = pdf.groupby("query_id", sort=True).head(k)
+    index.last_bmw_stats = stats
+    return (pdf[["query_id", "doc_id", "score"]].reset_index(drop=True),
+            stats)

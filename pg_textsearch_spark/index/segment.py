@@ -79,13 +79,13 @@ def pack_term(
         nm = norms[start:end]
         m = ids.size
         nblocks = (m + block_size - 1) // block_size
+        block_starts = np.arange(0, m, block_size)
         deltas = delta_encode_blocks(ids, block_size)
-        doc_bin = stream_encode(deltas.astype(np.uint64), codec)
-        tf_bin = stream_encode(t.astype(np.uint64), codec)
+        doc_bin = stream_encode(deltas.astype(np.uint64), codec, block_starts)
+        tf_bin = stream_encode(t.astype(np.uint64), codec, block_starts)
         norm_bin = nm.astype(np.uint8).tobytes()
 
         ends = np.minimum(np.arange(1, nblocks + 1) * block_size, m) - 1
-        block_starts = np.arange(0, m, block_size)
         skip_last = ids[ends]
         counts = np.diff(np.r_[0, ends + 1])
         max_tf = np.maximum.reduceat(t, block_starts)
@@ -93,8 +93,10 @@ def pack_term(
         # per-block byte offsets into doc_ids_bin / tfs_bin: enable
         # random-access block decode (reference TpSkipEntry.posting_offset,
         # src/segment/format.h:230-239)
-        dlen = np.cumsum(stream_nbytes(deltas.astype(np.uint64), codec))
-        tlen = np.cumsum(stream_nbytes(t.astype(np.uint64), codec))
+        dlen = np.cumsum(stream_nbytes(deltas.astype(np.uint64), codec,
+                                       block_starts))
+        tlen = np.cumsum(stream_nbytes(t.astype(np.uint64), codec,
+                                       block_starts))
         doc_off = np.r_[0, dlen[:-1]][block_starts]
         tf_off = np.r_[0, tlen[:-1]][block_starts]
 
@@ -203,12 +205,14 @@ def pack_postings_frame(
     deltas[1:] = ids[1:] - ids[:-1]
     deltas[b_start] = ids[b_start]
 
-    # codec streams for the whole segment, then per-term slices
-    doc_stream = stream_encode(deltas.astype(np.uint64), codec)
-    tf_stream = stream_encode(tfs.astype(np.uint64), codec)
+    # codec streams for the whole segment, then per-term slices (terms
+    # always start new blocks, so term boundaries are block boundaries and
+    # the block-oriented bitpack codec slices cleanly too)
+    doc_stream = stream_encode(deltas.astype(np.uint64), codec, b_start)
+    tf_stream = stream_encode(tfs.astype(np.uint64), codec, b_start)
     norm_stream = norms.astype(np.uint8).tobytes()
-    d_nb = stream_nbytes(deltas.astype(np.uint64), codec)
-    t_nb = stream_nbytes(tfs.astype(np.uint64), codec)
+    d_nb = stream_nbytes(deltas.astype(np.uint64), codec, b_start)
+    t_nb = stream_nbytes(tfs.astype(np.uint64), codec, b_start)
     d_off = np.r_[np.int64(0), np.cumsum(d_nb)]   # n+1 byte offsets
     t_off = np.r_[np.int64(0), np.cumsum(t_nb)]
 

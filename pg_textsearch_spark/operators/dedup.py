@@ -271,9 +271,13 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
     entries; candidate pair = docs sharing any band bucket; est_jaccard =
     fraction of equal signature entries. The join is keyed by (band, key) —
     bucket sizes bound the fanout, the classic LSH scale shape."""
-    # persist the signatures: they feed 2 join sides x n_bands band rows,
-    # and recomputing them re-runs the shingle explode + 8 md5 aggregations
-    sig = minhash_signatures(docs, text_col, id_col).persist()
+    # materialize the signatures once: they feed 2 join sides x n_bands
+    # band rows, and recomputing them re-runs the shingle explode + 8 md5
+    # aggregations. localCheckpoint (not persist) so the cached blocks are
+    # reclaimed by the ContextCleaner when the result DataFrame is dropped
+    # — a plain persist() stays registered in the CacheManager forever in
+    # long-lived sessions.
+    sig = minhash_signatures(docs, text_col, id_col).localCheckpoint(eager=True)
     band_structs = F.array(*[
         F.struct(
             F.lit(bnd).alias("band"),
@@ -368,7 +372,8 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     if max_hamming >= SIMHASH_BANDS:
         raise ValueError("banding guarantees recall only for "
                          f"max_hamming < {SIMHASH_BANDS}")
-    sig = simhash(docs, text_col, id_col).persist()
+    # localCheckpoint, not persist: GC-reclaimed when the result is dropped
+    sig = simhash(docs, text_col, id_col).localCheckpoint(eager=True)
     bands = sig.select(
         "doc_id", "simhash",
         F.explode(F.array(*[
@@ -610,6 +615,7 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
     labels = docs.select(F.col(id_col).alias("doc_id"),
                          F.col(id_col).cast("long").alias("label"))
     labels = labels.localCheckpoint(eager=True)
+    changed = None
     for _ in range(max_iters):
         prop = (edges.join(labels, edges.src == labels.doc_id)
                 .groupBy(F.col("dst").alias("doc_id"))
@@ -626,6 +632,15 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
         if changed == 0:
             break
     edges.unpersist()
+    if changed:
+        # a component with diameter > max_iters has NOT converged — its
+        # labels are silently wrong relative to the connected-components
+        # contract (and the recursive-CTE oracle). Fail loudly rather than
+        # return a wrong clustering.
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} rounds "
+            f"({changed} labels still changing): the pair graph has a "
+            "component with diameter > max_iters; raise max_iters")
     return (labels.select("doc_id", F.col("label").alias("cluster_id"))
             .orderBy("doc_id"))
 
