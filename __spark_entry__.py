@@ -43,6 +43,10 @@ Q_WEIGHTED = "merge merge batch"
 Q_ALL = "window customer"
 Q_BATCH = ["merge", "hash join", "window customer merge", "zebra", "batch value"]
 STAT_TERMS = ["hash", "join", "merge", "window", "zebra"]
+# inflected query forms exercising each language's stemmer on the corpus
+INTL_QUERIES = {"french": "merges windows",
+                "german": "merges windows",
+                "spanish": "merges windows"}
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 EMB_DIM = 64
 
@@ -97,9 +101,10 @@ def _merged_index_for(spark: SparkSession, sf_dir: str) -> Bm25Index:
 
 def _cached_index(s: SparkSession, d: str, tag_prefix: str,
                   opts: Bm25Options,
-                  mutate=None) -> Bm25Index:
+                  mutate=None, source=None) -> Bm25Index:
     """Build-once-per-process index over sf_dir docs under a cache key;
-    ``mutate`` runs once right after the build (deletes, vacuum, ...)."""
+    ``mutate`` runs once right after the build (deletes, vacuum, ...);
+    ``source`` overrides the input DataFrame (expression indexes)."""
     key = tag_prefix + ":" + os.path.abspath(d)
     idx = _INDEX_CACHE.get(key)
     if idx is None:
@@ -107,7 +112,8 @@ def _cached_index(s: SparkSession, d: str, tag_prefix: str,
         path = os.path.join(tempfile.gettempdir(), f"pgts_entry_idx_{tag}")
         if os.path.exists(path):
             shutil.rmtree(path)
-        idx = Bm25Index.build(s, _docs(s, d), "text", path,
+        docs = source() if source is not None else _docs(s, d)
+        idx = Bm25Index.build(s, docs, "text", path,
                               id_col="doc_id", opts=opts)
         if mutate is not None:
             mutate(idx)
@@ -117,6 +123,23 @@ def _cached_index(s: SparkSession, d: str, tag_prefix: str,
 
 # ids tombstoned by the deletion/vacuum entries (fixed, present at every sf)
 DELETED_IDS = [3, 7, 11, 42]
+
+
+def _corpus_vocab() -> list[str]:
+    """Distinct raw tokens of the (sf-invariant) synthetic documents
+    vocabulary, harvested once with DuckDB at oracle-generation time —
+    input to the inline stem mapping of the fr/de/es oracles."""
+    import duckdb
+    toks: set[str] = set()
+    for sf in ("sf0.01", "sf0.001", "sf0.1"):
+        p = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(p):
+            continue
+        rows = duckdb.sql(
+            "SELECT DISTINCT unnest(regexp_extract_all(lower(text), "
+            f"'[a-z0-9_ß-ÿ]+')) FROM read_parquet('{p}')").fetchall()
+        toks.update(r[0] for r in rows)
+    return sorted(toks)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -191,24 +214,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return idx.search("merging windows", k=10)
     q["bm25_topk_english"] = _english
 
-    # french config (Snowball French + stop list, PG-validated in
-    # tests/test_stemmer_intl.py). No SQL oracle — the driver records the
-    # rows-only check; stemmer parity is pytest-proven against PostgreSQL.
-    def _french(s, d):
-        key = "french:" + os.path.abspath(d)
-        idx = _INDEX_CACHE.get(key)
-        if idx is None:
-            tag = hashlib.md5(key.encode()).hexdigest()[:10]
-            path = os.path.join(tempfile.gettempdir(), f"pgts_entry_idx_{tag}")
-            if os.path.exists(path):
-                shutil.rmtree(path)
-            idx = Bm25Index.build(s, _docs(s, d), "text", path,
-                                  id_col="doc_id",
-                                  opts=Bm25Options(text_config="french"))
-            _INDEX_CACHE[key] = idx
-        # 'merges'/'windows' stem to the corpus lexemes 'merg'/'window'
-        return idx.search("merges windows", k=10)
-    q["bm25_topk_french"] = _french
+    # french/german/spanish configs (Snowball stemmers + stop lists,
+    # PG-ts_lexize-validated in tests/test_stemmer_intl.py). Hash-checked:
+    # the DuckDB oracle inlines a token->lexeme VALUES mapping generated by
+    # the SAME stemmer over the corpus vocabulary (oracle.stem_values_sql —
+    # the reference shares to_tsvector with its oracle the same way).
+    def _intl(lang, query):
+        def run(s, d):
+            idx = _cached_index(s, d, lang,
+                                Bm25Options(text_config=lang))
+            return idx.search(query, k=10)
+        return run
+    # 'merges'/'windows' stem onto the corpus lexemes under each config
+    q["bm25_topk_french"] = _intl("french", INTL_QUERIES["french"])
+    q["bm25_topk_german"] = _intl("german", INTL_QUERIES["german"])
+    q["bm25_topk_spanish"] = _intl("spanish", INTL_QUERIES["spanish"])
 
     # --- deletion / vacuum (reference M4/M6) ---
     # pre-vacuum: tombstoned docs are masked from results while corpus
@@ -239,6 +259,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- custom k1/b index options (reference WITH (k1=..., b=...)) ---
     q["bm25_topk_k1b"] = lambda s, d: _cached_index(
         s, d, "k1b", Bm25Options(text_config="simple", k1=0.9, b=0.4)
+        ).search(Q_MULTI, k=10)
+
+    # --- bitpack posting codec (reference compressed segment format,
+    # src/segment/compression.c:199-259) — same results, packed blocks ---
+    q["bm25_topk_bitpack"] = lambda s, d: _cached_index(
+        s, d, "bitpack",
+        Bm25Options(text_config="simple", posting_codec="bitpack")
+        ).search(Q_MULTI, k=10)
+
+    # --- expression index (reference README.md:196-217: index over an
+    # expression, e.g. title || ' ' || body) — the Spark-first analogue
+    # indexes a derived column; searched and scored identically ---
+    q["bm25_expr_index"] = lambda s, d: _cached_index(
+        s, d, "expr", SIMPLE_OPTS,
+        source=lambda: _docs(s, d).withColumn(
+            "text", F.concat_ws(" ", F.col("lang"), F.col("text")))
         ).search(Q_MULTI, k=10)
 
     # --- bm25vector type analogue (reference src/types/vector.c) ---
@@ -337,6 +373,16 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_topk_english"] = bm25_oracle.bm25_oracle_sql(
         "merging windows", k=10, opts=ENGLISH_OPTS)
 
+    # fr/de/es: the oracle inlines the engine stemmer's token->lexeme map
+    # over the corpus vocabulary (plus the query's own words), so DuckDB
+    # stems identically — unmapped tokens are marked loudly, never dropped
+    vocab = _corpus_vocab()
+    for lang in ("french", "german", "spanish"):
+        o[f"bm25_topk_{lang}"] = bm25_oracle.bm25_oracle_sql(
+            INTL_QUERIES[lang], k=10,
+            opts=Bm25Options(text_config=lang),
+            stem_vocab=vocab + INTL_QUERIES[lang].split())
+
     _del_ids = ", ".join(str(i) for i in DELETED_IDS)
     # pre-vacuum: stats dead-inclusive, results exclude tombstones -> score
     # over the FULL table, filter, then cut top-k
@@ -353,6 +399,11 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
     o["bm25_topk_k1b"] = bm25_oracle.bm25_oracle_sql(
         Q_MULTI, k=10,
         opts=Bm25Options(text_config="simple", k1=0.9, b=0.4))
+    # posting codec changes bytes, not results: the standard oracle applies
+    o["bm25_topk_bitpack"] = bm25_oracle.bm25_oracle_sql(Q_MULTI, k=10)
+    # expression index: the oracle tokenizes the same derived expression
+    o["bm25_expr_index"] = bm25_oracle.bm25_oracle_sql(
+        Q_MULTI, k=10, text_col="concat_ws(' ', lang, text)")
 
     from pg_textsearch_spark.functions.vectorize import to_bm25vector_oracle_sql
     o["bm25_vectorize"] = to_bm25vector_oracle_sql(

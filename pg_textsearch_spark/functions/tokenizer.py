@@ -76,6 +76,13 @@ _CONFIGS = {
 }
 
 
+def config_parts(config: str):
+    """(token regex, stopword frozenset | None, stem fn | None) for a
+    config — the pieces oracle generators need to SHARE the tokenizer with
+    the SQL oracle (the reference shares to_tsvector the same way)."""
+    return _CONFIGS[resolve_config(config)]
+
+
 def resolve_config(config: str) -> str:
     """Accept PG qualified names ('pg_catalog.english' — reference
     test/sql/text_config.sql) and validate."""

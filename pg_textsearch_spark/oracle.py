@@ -23,22 +23,65 @@ from __future__ import annotations
 from .config import Bm25Options
 from .functions.fieldnorm import DECODE_TABLE
 from .functions.stemmer_sql import stem_cte_sql
-from .functions.tokenizer import ENGLISH_STOPWORDS, tokenize_query
+from .functions.tokenizer import (ENGLISH_STOPWORDS, config_parts,
+                                  tokenize_query)
 
 TOKEN_SQL_PATTERN = "[a-z0-9_]+"
+# fr/de/es word characters include the accented Latin-1 letters
+# (tokenizer.TOKEN_PATTERN_LATIN1)
+TOKEN_SQL_PATTERN_LATIN1 = "[a-z0-9_ß-ÿ]+"
+
+_INTL_CONFIGS = ("french", "german", "spanish")
 
 
-def _tf_ctes(table: str, id_col: str, text_col: str, config: str) -> str:
+def _sq(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def stem_values_sql(config: str, vocab: list[str]) -> str:
+    """``(VALUES ...)`` rows mapping each non-stopword token of ``vocab``
+    to its lexeme under ``config``'s Snowball stemmer.
+
+    This SHARES the engine's (PG-``ts_lexize``-validated,
+    tests/test_stemmer_intl.py) stemmer with the SQL oracle — the same
+    trust model the reference uses when its SQL oracle calls the engine's
+    own ``to_tsvector`` (reference test/sql/validation.sql:1-12). The
+    mapping is exhaustive over the supplied vocabulary; the consuming CTE
+    LEFT JOINs and marks unmapped tokens loudly so a vocabulary gap
+    surfaces as a hash mismatch, never a silent pass."""
+    pattern, stopwords, stem_fn = config_parts(config)
+    if stem_fn is None:
+        raise ValueError(f"config {config!r} has no stemmer")
+    seen: dict[str, str] = {}
+    for word in vocab:
+        for tok in pattern.findall(word.lower()):
+            if tok in seen or len(tok) > 2047:
+                continue
+            if stopwords and tok in stopwords:
+                continue
+            seen[tok] = stem_fn(tok)
+    if not seen:
+        raise ValueError("empty stem vocabulary")
+    return ", ".join(f"({_sq(t)}, {_sq(lx)})" for t, lx in sorted(seen.items()))
+
+
+def _tf_ctes(table: str, id_col: str, text_col: str, config: str,
+             stem_vocab: list[str] | None = None) -> str:
     """CTE block ending in ``tf(doc_id, term, tf)`` for the given config.
 
     ``simple``: tokens are lexemes; tf caps at 256 per (doc, token).
     ``english``: the per-WORD tf cap applies before stemming merges words
     into one lexeme (engine ``_chunk_term_freqs`` order: cap, then merge),
     stopwords drop before counting, and stemming runs once per DISTINCT
-    token through the Porter2 CTE chain."""
+    token through the Porter2 CTE chain.
+    ``french``/``german``/``spanish``: same shape, but the stems relation
+    is an inline VALUES mapping generated from the engine's PG-validated
+    Snowball stemmer over ``stem_vocab`` (see :func:`stem_values_sql`)."""
+    pat = (TOKEN_SQL_PATTERN_LATIN1 if config in _INTL_CONFIGS
+           else TOKEN_SQL_PATTERN)
     tok = f"""tok AS (
   SELECT {id_col} AS doc_id,
-         unnest(regexp_extract_all(lower({text_col}), '{TOKEN_SQL_PATTERN}')) AS term
+         unnest(regexp_extract_all(lower({text_col}), '{pat}')) AS term
   FROM {table}
 )"""
     if config == "simple":
@@ -47,7 +90,30 @@ tf AS (
   SELECT doc_id, term, LEAST(count(*), 256) AS tf
   FROM tok GROUP BY doc_id, term
 )"""
-    stop = ", ".join(f"'{s}'" for s in sorted(ENGLISH_STOPWORDS))
+    _, stopwords, _ = config_parts(config)
+    stop = ", ".join(_sq(s) for s in sorted(stopwords))
+    if config in _INTL_CONFIGS:
+        if not stem_vocab:
+            raise ValueError(
+                f"config {config!r} oracle needs stem_vocab (the corpus "
+                "vocabulary to inline as the stems mapping)")
+        stems = (f"stems(term, lexeme) AS "
+                 f"(VALUES {stem_values_sql(config, stem_vocab)})")
+        tf = """tf AS (
+  SELECT w.doc_id,
+         COALESCE(s.lexeme, w.term || '<!unmapped>') AS term,
+         SUM(w.wtf)::BIGINT AS tf
+  FROM wtf w LEFT JOIN stems s ON s.term = w.term
+  GROUP BY 1, 2
+)"""
+    else:
+        stems = ("toks AS (SELECT DISTINCT term FROM wtf),\n"
+                 + stem_cte_sql("toks", "term"))
+        tf = """tf AS (
+  SELECT w.doc_id, s.lexeme AS term, SUM(w.wtf)::BIGINT AS tf
+  FROM wtf w JOIN stems s ON s.term = w.term
+  GROUP BY 1, 2
+)"""
     return tok + f""",
 wtf AS (
   SELECT doc_id, term, LEAST(count(*), 256) AS wtf
@@ -55,13 +121,8 @@ wtf AS (
   WHERE term NOT IN ({stop}) AND length(term) <= 2047
   GROUP BY doc_id, term
 ),
-toks AS (SELECT DISTINCT term FROM wtf),
-{stem_cte_sql("toks", "term")},
-tf AS (
-  SELECT w.doc_id, s.lexeme AS term, SUM(w.wtf)::BIGINT AS tf
-  FROM wtf w JOIN stems s ON s.term = w.term
-  GROUP BY 1, 2
-)"""
+{stems},
+{tf}"""
 
 
 def _fieldnorm_values(max_len: int = 100_000) -> str:
@@ -82,17 +143,19 @@ def bm25_oracle_sql(
     mode: str = "or",
     opts: Bm25Options | None = None,
     round_to: int = 4,
+    stem_vocab: list[str] | None = None,
 ) -> str:
-    """SQL computing BM25 top-k for ``query`` under the ``simple`` config.
+    """SQL computing BM25 top-k for ``query`` under the given text config.
 
     Output columns: (doc_id BIGINT, score DOUBLE) ordered by
     (score DESC, doc_id ASC) — identical names/semantics to the engine's
-    ``search``/``score_exhaustive`` output.
+    ``search``/``score_exhaustive`` output. fr/de/es configs additionally
+    need ``stem_vocab`` (see :func:`stem_values_sql`).
     """
     opts = opts or Bm25Options(text_config="simple")
-    if opts.text_config not in ("simple", "english"):
-        raise ValueError("SQL oracle supports the 'simple' and 'english' "
-                         "text configs")
+    if opts.text_config not in ("simple", "english") + _INTL_CONFIGS:
+        raise ValueError("SQL oracle supports the 'simple', 'english', "
+                         "'french', 'german' and 'spanish' text configs")
     if mode == "phrase" and opts.text_config != "simple":
         raise ValueError("phrase oracle requires the 'simple' config")
     qterms = tokenize_query(query, opts.text_config)
@@ -110,7 +173,7 @@ def bm25_oracle_sql(
         and_having = f"HAVING count(DISTINCT c.term) = {n_distinct}"
 
     sql = f"""
-WITH {_tf_ctes(table, id_col, text_col, opts.text_config)},
+WITH {_tf_ctes(table, id_col, text_col, opts.text_config, stem_vocab)},
 dl AS (
   SELECT doc_id, SUM(tf) AS dl,
          (SELECT MAX(v) FROM (VALUES {_fieldnorm_values()}) AS fnorm(v)
