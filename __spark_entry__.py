@@ -230,6 +230,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_topk_german"] = _intl("german", INTL_QUERIES["german"])
     q["bm25_topk_spanish"] = _intl("spanish", INTL_QUERIES["spanish"])
 
+    # PG default-parser configs (urls/emails/hosts/files/versions/hword
+    # compounds — functions/pg_parser.py, PG-15-parity-tested on 175
+    # fixture vectors incl. full english-config output). The synthetic
+    # corpus is plain [a-z0-9_ ] text, on which the default parser's
+    # output provably equals the regex tokenizer's — so these rows
+    # hash-check the pg configs end-to-end against the standard oracles,
+    # while the parser-specific token classes are pinned by
+    # tests/test_pg_parser.py.
+    q["bm25_topk_pg"] = lambda s, d: _cached_index(
+        s, d, "pg", Bm25Options(text_config="pg")).search(Q_MULTI, k=10)
+    q["bm25_topk_pg_english"] = lambda s, d: _cached_index(
+        s, d, "pg_english", Bm25Options(text_config="pg_english")
+        ).search("merging windows", k=10)
+
     # --- deletion / vacuum (reference M4/M6) ---
     # pre-vacuum: tombstoned docs are masked from results while corpus
     # stats stay dead-inclusive (reference alive-bitset semantics)
@@ -382,6 +396,12 @@ def oracle_sql() -> dict[str, str]:
             INTL_QUERIES[lang], k=10,
             opts=Bm25Options(text_config=lang),
             stem_vocab=vocab + INTL_QUERIES[lang].split())
+
+    # on the plain-words corpus the pg parser reduces to the simple/english
+    # tokenizers (see queries()), so the standard oracles apply
+    o["bm25_topk_pg"] = bm25_oracle.bm25_oracle_sql(Q_MULTI, k=10)
+    o["bm25_topk_pg_english"] = bm25_oracle.bm25_oracle_sql(
+        "merging windows", k=10, opts=ENGLISH_OPTS)
 
     _del_ids = ", ".join(str(i) for i in DELETED_IDS)
     # pre-vacuum: stats dead-inclusive, results exclude tombstones -> score

@@ -67,12 +67,19 @@ will just don should now
 # config name -> (token pattern, stopwords | None, stemmer | None).
 # Stemmers are the published Snowball algorithms (PG's to_tsvector
 # contract); stopword lists are the Snowball-project lists PG ships.
+# The sentinel pattern "pg" selects the PG default-parser behavioral
+# clone (functions.pg_parser): urls/emails/hosts/files/versions/signed
+# numbers/hyphen compounds, PG-15-parity-tested. 'pg' = default parser +
+# simple dictionary; 'pg_english' = default parser + english stopwords +
+# Snowball stemming on word-ish lexemes (PG's english config shape).
 _CONFIGS = {
     "simple": (TOKEN_PATTERN, None, None),
     "english": (TOKEN_PATTERN, ENGLISH_STOPWORDS, stem),
     "french": (TOKEN_PATTERN_LATIN1, FRENCH_STOPWORDS, stem_french),
     "german": (TOKEN_PATTERN_LATIN1, GERMAN_STOPWORDS, stem_german),
     "spanish": (TOKEN_PATTERN_LATIN1, SPANISH_STOPWORDS, stem_spanish),
+    "pg": ("pg", None, None),
+    "pg_english": ("pg", ENGLISH_STOPWORDS, stem),
 }
 
 
@@ -118,6 +125,8 @@ def _split_chunks(text: str) -> list[str]:
 def _chunk_term_freqs(chunk: str, config: str, stem_cache: dict[str, str | None]) -> Counter:
     """(lexeme -> tf) for one chunk; tf saturates at MAX_TF per chunk."""
     pattern, stopwords, stem_fn = _CONFIGS[config]
+    if pattern == "pg":
+        return _pg_chunk_term_freqs(chunk, stopwords, stem_fn, stem_cache)
     raw = Counter(pattern.findall(chunk.lower()))
     out: Counter = Counter()
     if stem_fn is None:
@@ -136,6 +145,35 @@ def _chunk_term_freqs(chunk: str, config: str, stem_cache: dict[str, str | None]
             stem_cache[word] = lex
         if lex is None:
             continue
+        out[lex] += min(cnt, MAX_TF)
+    return out
+
+
+def _pg_chunk_term_freqs(chunk: str, stopwords, stem_fn,
+                         stem_cache: dict) -> Counter:
+    """PG-default-parser chunk tokenization: lexemes come typed from
+    pg_parse_typed; only the stemmable word classes see stopwords and the
+    stemmer (PG english-config dictionary mapping), everything else passes
+    through the simple dictionary."""
+    from .pg_parser import pg_parse_typed
+    raw: Counter = Counter()
+    stem_ok: dict[str, bool] = {}
+    for lex, _pos, stemmable in pg_parse_typed(chunk):
+        raw[lex] += 1
+        stem_ok[lex] = stemmable
+    out: Counter = Counter()
+    # same order as the regex configs: per-WORD tf cap, then stem-merge
+    for word, cnt in raw.items():
+        if stem_fn is not None and stem_ok[word]:
+            lex = stem_cache.get(word, "?")
+            if lex == "?":
+                lex = (None if (stopwords and word in stopwords)
+                       else stem_fn(word))
+                stem_cache[word] = lex
+            if lex is None:
+                continue
+        else:
+            lex = word
         out[lex] += min(cnt, MAX_TF)
     return out
 

@@ -194,6 +194,51 @@ def make_packer(index_path: str, seg_ids: dict[int, str], opts: Bm25Options,
     return pack
 
 
+def _murmur3_32_int(x: int, seed: int = 42) -> int:
+    """Spark's ``Murmur3Hash`` of one IntegerType value (the function
+    behind ``F.hash`` and ``HashPartitioning``) — public Murmur3 x86-32
+    with Spark's seed. Verified value-for-value against ``F.hash``."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    k = (x & 0xFFFFFFFF) * c1 & 0xFFFFFFFF
+    k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+    k = k * c2 & 0xFFFFFFFF
+    h = seed ^ k
+    h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+    h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h ^= 4
+    h ^= h >> 16
+    h = h * 0x85EBCA6B & 0xFFFFFFFF
+    h ^= h >> 13
+    h = h * 0xC2B2AE35 & 0xFFFFFFFF
+    h ^= h >> 16
+    return h if h < 2 ** 31 else h - 2 ** 32
+
+
+def _collision_free_seg_tokens(num_segments: int, parts: int) -> list[int]:
+    """Segment-key values 0..k that land in DISTINCT shuffle buckets under
+    ``pmod(murmur3(key), parts)``.
+
+    groupBy().applyInPandas hash-partitions the group key, so with ~as
+    many buckets as groups the birthday paradox makes ~1/4 of buckets hold
+    2+ segment groups — and a doubled pack task's runtime IS the stage
+    wall. Choosing key values whose hashes are bucket-distinct makes the
+    pack stage exactly one segment per task."""
+    tokens: list[int] = []
+    used: set[int] = set()
+    cand = 0
+    while len(tokens) < num_segments:
+        b = _murmur3_32_int(cand) % parts
+        if b < 0:
+            b += parts
+        if b not in used:
+            used.add(b)
+            tokens.append(cand)
+        cand += 1
+        if cand > 100 * num_segments + 10_000:   # can't happen for parts>=n
+            raise RuntimeError("collision-free token search overflow")
+    return tokens
+
+
 # name -> index registry backing the reference's colon query-constructor
 # syntax ('index_name:query', src/types/query.c:194-225 — resolves the
 # index by name the way tpquery_in resolves a relation OID). Weak values:
@@ -370,7 +415,16 @@ class Bm25Index:
             span = max(1, -(-(hi - lo + 1) // num_segments))
 
         manifest = Manifest(path, opts)
-        seg_ids = {i: manifest.new_segment_id() for i in range(num_segments)}
+        # pack-stage layout: one shuffle bucket per segment (see
+        # _collision_free_seg_tokens). Tokens are deterministic in
+        # num_segments, so resume re-derives the same grouping.
+        pack_parts = max(num_segments * 2, 32)
+        if num_segments <= 4096:
+            seg_tokens = _collision_free_seg_tokens(num_segments, pack_parts)
+        else:   # token search is O(n^2)-ish; past this size waves dominate
+            seg_tokens = list(range(num_segments))
+        seg_ids = {t: manifest.new_segment_id()
+                   for t in seg_tokens}
         os.makedirs(os.path.join(path, "segments"), exist_ok=True)
 
         # docmap columns (sha256 + source metadata) ride the SAME tokenizer
@@ -390,6 +444,9 @@ class Bm25Index:
             F.lit(int(num_segments - 1)),
             F.floor((F.col("doc_id").cast("double") - float(lo)) / float(span))
             .cast("int"))
+        # remap range-bucket index -> collision-free group key
+        seg_col = F.element_at(
+            F.array(*[F.lit(int(t)) for t in seg_tokens]), seg_col + 1)
         doc_cols = ["content_sha256"] + meta_cols
         stats_df = (
             postings.withColumn("seg", seg_col)
@@ -397,7 +454,23 @@ class Bm25Index:
             .applyInPandas(make_packer(path, seg_ids, opts, doc_cols),
                            PACK_STATS_SCHEMA)
         )
-        stats = stats_df.collect()
+        # one pack task per segment: the pack stage is CPU-heavy with few
+        # groups; AQE's byte-based coalescing (e.g. 64 groups -> 22 tasks)
+        # and hash collisions both create multi-segment straggler tasks
+        # whose max time IS the stage wall. The collision-free tokens plus
+        # a pinned shuffle width (coalescing off, set/restore around this
+        # one action) give exactly one segment per task.
+        conf = spark.conf
+        saved = {k: conf.get(k) for k in
+                 ("spark.sql.shuffle.partitions",
+                  "spark.sql.adaptive.coalescePartitions.enabled")}
+        try:
+            conf.set("spark.sql.shuffle.partitions", str(pack_parts))
+            conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+            stats = stats_df.collect()
+        finally:
+            for k, v in saved.items():
+                conf.set(k, v)
 
         total = 0
         for r in stats:

@@ -230,8 +230,26 @@ def _tokenize_with_positions(text, config, cache):
     if not text:
         return [], [], 0, []
     pattern, stopwords, stem_fn = _CONFIGS[resolve_config(config)]
-    words = pattern.findall(text.lower())
     posmap: dict[str, list[int]] = {}
+    if pattern == "pg":
+        # PG default parser: positions come from the parser itself
+        # (compound wholes/parts each consume one, like tsvector's)
+        from .functions.pg_parser import pg_parse_typed
+        for w, p, stemmable in pg_parse_typed(text):
+            if stem_fn is not None and stemmable:
+                lex = cache.get(w, "?")
+                if lex == "?":
+                    lex = (None if (stopwords and w in stopwords)
+                           else stem_fn(w))
+                    cache[w] = lex
+                if lex is None:
+                    continue   # stopword: position already consumed
+            else:
+                lex = w
+            posmap.setdefault(lex, []).append(p)
+        words = []
+    else:
+        words = pattern.findall(text.lower())
     pos = 0
     for w in words:
         if len(w) > MAX_WORD_LEN:

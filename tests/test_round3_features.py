@@ -236,6 +236,41 @@ def test_bitpack_with_reordered_layout(spark, natural3, tmp_path):
     assert stats["blocks_decoded"] < stats["blocks_total"]
 
 
+def test_pg_config_index_end_to_end(spark, tmp_path):
+    """text_config='pg' through the full engine: URLs/emails/compound
+    words are single lexemes; queries hit them; scoring matches the
+    exhaustive path."""
+    from pg_textsearch_spark.operators.exhaustive import score_exhaustive
+    rows = [
+        (1, "visit http://spark.apache.org/docs now for spark tuning"),
+        (2, "mail admin@spark.io about the state-of-the-art optimizer"),
+        (3, "spark 3.5.1 released, see /opt/spark/README today"),
+        (4, "plain words about tuning the optimizer state"),
+        (5, "spark spark spark tuning tuning art"),
+    ] + [(i, f"filler w{i} noise") for i in range(6, 40)]
+    docs = spark.createDataFrame(rows, "id long, content string")
+    opts = Bm25Options(text_config="pg")
+    idx = Bm25Index.build(spark, docs, "content", str(tmp_path / "pg"),
+                          id_col="id", opts=opts, num_segments=2)
+    # url host lexeme is searchable as one token
+    got = [r["doc_id"] for r in idx.search("spark.apache.org", k=5).collect()]
+    assert got == [1]
+    got = [r["doc_id"] for r in idx.search("admin@spark.io", k=5).collect()]
+    assert got == [2]
+    # compound query = whole + parts (OR): doc 2 has ALL of them and must
+    # rank first; docs 4/5 match single parts only
+    got = [r["doc_id"] for r in idx.search("state-of-the-art", k=5).collect()]
+    assert got[0] == 2 and set(got) == {2, 4, 5}
+    got = [r["doc_id"] for r in idx.search("3.5.1", k=5).collect()]
+    assert got == [3]
+    # engine search == exhaustive scorer under the same config
+    want = [(r["doc_id"], r["score"]) for r in score_exhaustive(
+        spark, docs, "content", "id", "spark tuning", opts, k=5).collect()]
+    have = [(r["doc_id"], r["score"])
+            for r in idx.search("spark tuning", k=5).collect()]
+    assert have == want
+
+
 def test_register_collision_warns(spark, natural3, tmp_path):
     a = Bm25Index.build(spark, natural3.limit(50), "content",
                         str(tmp_path / "x" / "same"), id_col="id",
