@@ -29,12 +29,20 @@ from dataclasses import dataclass, field
 from ..config import Bm25Options
 
 MANIFEST_NAME = "manifest.json"
+SEGMENTS_PARQUET = "segments.parquet"
 SEG_MARKER = "_SEG_SUCCESS.json"
 TOKENIZER_VERSION = 1
 # v2: global docs/ docmap removed; per-segment docmaps carry
 # content_sha256 + source metadata. v1 indexes lack those columns, so
 # load refuses them (the reference's index-version gate on the metapage).
+# v3: segment records live in a columnar segments.parquet sidecar once the
+# count crosses SEG_PARQUET_THRESHOLD (a 380k-segment index at 100 TB is
+# ~100 MB of JSON but ~4 MB of parquet, and loads as one columnar scan).
+# v2 (all-JSON) stays readable; v3 is written only when the sidecar is
+# needed, so small indexes remain v2 and human-inspectable.
 FORMAT_VERSION = 2
+FORMAT_VERSION_PARQUET = 3
+SEG_PARQUET_THRESHOLD = 2048
 
 
 @dataclass
@@ -125,30 +133,86 @@ class Manifest:
     def save(self) -> None:
         self.updated_at = time.time()
         os.makedirs(self.path, exist_ok=True)
+        d = self.to_dict()
+        seg_pq = os.path.join(self.path, SEGMENTS_PARQUET)
+        n_segs = sum(len(v) for v in d["levels"].values())
+        if n_segs > SEG_PARQUET_THRESHOLD:
+            # columnar sidecar, written FIRST; the JSON rename is still the
+            # atomic commit point (a reader never sees a v3 manifest whose
+            # sidecar is missing)
+            self._write_segments_parquet(seg_pq + ".tmp")
+            os.replace(seg_pq + ".tmp", seg_pq)
+            d["format_version"] = FORMAT_VERSION_PARQUET
+            d["levels"] = {}
+            d["segments_file"] = SEGMENTS_PARQUET
+        elif os.path.exists(seg_pq):
+            os.unlink(seg_pq)       # shrank back below the threshold
         fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".manifest.tmp")
         try:
             with os.fdopen(fd, "w") as f:
-                json.dump(self.to_dict(), f, indent=1)
+                json.dump(d, f, indent=1)
             os.replace(tmp, os.path.join(self.path, MANIFEST_NAME))
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
+
+    def _write_segments_parquet(self, dest: str) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        recs = [(lvl, s) for lvl, segs in sorted(self.levels.items())
+                for s in segs]
+        cols: dict[str, list] = {"level": [l for l, _ in recs]}
+        for name in ("segment_id", "num_docs", "total_len", "num_terms",
+                     "num_postings", "bytes", "min_doc_id", "max_doc_id",
+                     "max_doc_freq", "skew_factor"):
+            cols[name] = [getattr(s, name) for _, s in recs]
+        cols["lineage_json"] = [json.dumps(s.lineage) for _, s in recs]
+        pq.write_table(pa.table(cols), dest, compression="zstd")
+
+    @staticmethod
+    def _read_segments_parquet(src: str) -> dict[int, list[SegmentRecord]]:
+        import pyarrow.parquet as pq
+        t = pq.read_table(src)
+        cols = {c: t.column(c).to_pylist() for c in t.column_names}
+        levels: dict[int, list[SegmentRecord]] = {}
+        for i in range(t.num_rows):
+            rec = SegmentRecord(
+                segment_id=cols["segment_id"][i],
+                level=int(cols["level"][i]),
+                num_docs=int(cols["num_docs"][i]),
+                total_len=int(cols["total_len"][i]),
+                num_terms=int(cols["num_terms"][i]),
+                num_postings=int(cols["num_postings"][i]),
+                bytes=int(cols["bytes"][i]),
+                min_doc_id=int(cols["min_doc_id"][i]),
+                max_doc_id=int(cols["max_doc_id"][i]),
+                max_doc_freq=int(cols["max_doc_freq"][i]),
+                skew_factor=float(cols["skew_factor"][i]),
+                lineage=json.loads(cols["lineage_json"][i]),
+            )
+            levels.setdefault(rec.level, []).append(rec)
+        return levels
 
     @classmethod
     def load(cls, path: str) -> "Manifest":
         with open(os.path.join(path, MANIFEST_NAME)) as f:
             d = json.load(f)
         ver = d.get("format_version", 0)
-        if ver != FORMAT_VERSION:
+        if ver not in (FORMAT_VERSION, FORMAT_VERSION_PARQUET):
             raise ValueError(
                 f"index at {path} has format_version {ver}; this engine "
-                f"reads version {FORMAT_VERSION} — rebuild the index")
+                f"reads versions {FORMAT_VERSION}/{FORMAT_VERSION_PARQUET} "
+                "— rebuild the index")
         m = cls(path, Bm25Options.from_dict(d["options"]))
         m.created_at = d["created_at"]
         m.updated_at = d["updated_at"]
         m.next_segment = d["next_segment"]
-        m.levels = {int(l): [SegmentRecord.from_dict(s) for s in segs]
-                    for l, segs in d["levels"].items()}
+        if d.get("segments_file"):
+            m.levels = cls._read_segments_parquet(
+                os.path.join(path, d["segments_file"]))
+        else:
+            m.levels = {int(l): [SegmentRecord.from_dict(s) for s in segs]
+                        for l, segs in d["levels"].items()}
         return m
 
     @classmethod

@@ -202,7 +202,16 @@ def merge_segments(index, seg_records: list[SegmentRecord], out_level: int,
         max_doc_freq=int(tstats["max_df"] or 0),
         skew_factor=float((tstats["max_df"] or 0) / tstats["mean_df"]) if tstats["mean_df"] else 0.0,
         lineage={"kind": "merge", "inputs": [s.segment_id for s in seg_records],
-                 "n_salts": n_salts},
+                 "n_salts": n_salts,
+                 # carry every streaming batch id the inputs ingested, so
+                 # append_batch's replay-idempotency check survives
+                 # compaction (a retried micro-batch must stay a no-op
+                 # after its L0 segment was merged away)
+                 "batch_ids": sorted({
+                     b for s in seg_records
+                     for b in ([s.lineage.get("batch_id")]
+                               + list(s.lineage.get("batch_ids") or []))
+                     if b is not None})},
     )
     import json
     with open(os.path.join(seg_dir, SEG_MARKER), "w") as f:

@@ -38,7 +38,9 @@ def append_batch(index, docs: DataFrame, text_col: str, id_col: str,
             "ids would break the dense length-ordered id space; rebuild "
             "or use reorder_docs='none' for incremental indexes")
     if batch_id is not None and any(
-            s.lineage.get("batch_id") == batch_id for s in manifest.segments):
+            s.lineage.get("batch_id") == batch_id
+            or batch_id in (s.lineage.get("batch_ids") or ())
+            for s in manifest.segments):
         return []
     src = docs.withColumn("__id", F.col(id_col).cast("long"))
     if src.isEmpty():

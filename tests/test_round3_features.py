@@ -271,6 +271,42 @@ def test_pg_config_index_end_to_end(spark, tmp_path):
     assert have == want
 
 
+def test_manifest_parquet_sidecar_roundtrip(tmp_path):
+    """>2048 segments: records round-trip through the columnar
+    segments.parquet sidecar (format_version 3) in O(one scan), the JSON
+    header stays O(1), and a small manifest stays plain v2 JSON."""
+    import json as _json
+    import os as _os
+    from pg_textsearch_spark.index.manifest import (Manifest, SegmentRecord,
+                                                    SEG_PARQUET_THRESHOLD)
+    m = Manifest(str(tmp_path / "idx"), SIMPLE)
+    n = SEG_PARQUET_THRESHOLD + 100
+    for i in range(n):
+        m.add_segment(SegmentRecord(
+            segment_id=m.new_segment_id(), level=i % 3, num_docs=10 + i,
+            total_len=100 + i, num_terms=5, num_postings=50, bytes=1000,
+            min_doc_id=i * 100, max_doc_id=i * 100 + 99, max_doc_freq=7,
+            skew_factor=1.25, lineage={"kind": "build", "i": i}))
+    m.save()
+    assert _os.path.exists(tmp_path / "idx" / "segments.parquet")
+    with open(tmp_path / "idx" / "manifest.json") as f:
+        header = _json.load(f)
+    assert header["format_version"] == 3
+    assert header["levels"] == {}
+    assert _os.path.getsize(tmp_path / "idx" / "manifest.json") < 10_000
+    m2 = Manifest.load(str(tmp_path / "idx"))
+    assert m2.total_docs == m.total_docs and m2.total_len == m.total_len
+    assert len(m2.segments) == n
+    s0, t0 = m.levels[0][0], m2.levels[0][0]
+    assert s0.to_dict() == t0.to_dict()
+    # shrink below the threshold: sidecar removed, back to v2 JSON
+    m2.levels = {0: m2.levels[0][:10]}
+    m2.save()
+    assert not _os.path.exists(tmp_path / "idx" / "segments.parquet")
+    m3 = Manifest.load(str(tmp_path / "idx"))
+    assert len(m3.segments) == 10
+
+
 def test_register_collision_warns(spark, natural3, tmp_path):
     a = Bm25Index.build(spark, natural3.limit(50), "content",
                         str(tmp_path / "x" / "same"), id_col="id",
