@@ -43,6 +43,15 @@ class Bm25Options:
     # the parity codec for the reference's compressed format
     # (src/segment/compression.c:199-259, flags format.h:241-245)
     posting_codec: str = ""
+    # build-side memory budget (B13/B14 — reference maintenance_work_mem
+    # flush, src/access/build.c:1234-1248, and the memtable auto-spill
+    # triggers, build.c:263-295). None = partition == flush unit (default:
+    # segments are already sized by docs_per_segment). When set, the pack
+    # stage streams Arrow batches through mapInPandas and flushes an
+    # independent sub-segment whenever a bucket's buffered working set
+    # exceeds the budget — an executor never materializes more than
+    # ~budget bytes per bucket no matter how skewed the doc-id bucketing.
+    spill_budget_bytes: int | None = None
     # document-id layout: 'none' keeps user/hashed ids; 'length' assigns
     # dense internal ids in ascending byte-length order (original ids kept
     # in the docmap as source_id). Length-ordered blocks give block-max
@@ -71,6 +80,8 @@ class Bm25Options:
                 "posting_codec must be '', 'varbyte', 'raw' or 'bitpack'")
         if self.posting_codec == "bitpack" and self.block_size > 256:
             raise ValueError("bitpack requires block_size <= 256")
+        if self.spill_budget_bytes is not None and self.spill_budget_bytes < 4096:
+            raise ValueError("spill_budget_bytes must be >= 4096")
 
     def to_dict(self) -> dict:
         return asdict(self)

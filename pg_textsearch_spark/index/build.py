@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 import numpy as np
 import pandas as pd
@@ -109,6 +110,77 @@ def write_segment_files(seg_dir: str, packed: pd.DataFrame,
     return os.path.getsize(ppath) + os.path.getsize(dpath)
 
 
+def _pack_segment_pdf(pdf: pd.DataFrame, seg_id: str, seg_dir: str,
+                      opts: Bm25Options, doc_cols: list[str],
+                      write_marker: bool = True) -> dict:
+    """Flatten one array-packed doc group into a written segment (B5-B10);
+    returns the stats dict. ``write_marker=False`` for callers whose resume
+    unit is coarser than one written segment (the spill packer's bucket)."""
+    with_positions = opts.store_positions
+    block_size = opts.block_size
+    # duplicate doc ids (repeated natural keys or an xxhash64
+    # collision) would silently inflate num_docs/total_len and
+    # double-count scores — fail loudly instead
+    dup = pdf["doc_id"].duplicated()
+    if dup.any():
+        bad = pdf["doc_id"][dup].iloc[0]
+        raise ValueError(
+            f"duplicate doc_id {bad} in segment {seg_id}: source has "
+            "repeated ids/natural keys (dedupe the input, or pass a "
+            "unique id_col)")
+    # input is ONE array-packed row per doc (doc_term_arrays);
+    # re-flatten to postings at C speed with repeat/concatenate
+    docs = (pdf[["doc_id", "doc_len", "fieldnorm"] + doc_cols]
+            .sort_values("doc_id"))
+    lens = np.fromiter((len(t) for t in pdf["terms"]),
+                       dtype=np.int64, count=len(pdf))
+    nz = lens > 0
+    if nz.any():
+        cols = {
+            "doc_id": np.repeat(pdf["doc_id"].to_numpy()[nz], lens[nz]),
+            "term": np.concatenate(pdf["terms"].to_numpy()[nz]),
+            "tf": np.concatenate(pdf["tfs"].to_numpy()[nz]),
+            "fieldnorm": np.repeat(pdf["fieldnorm"].to_numpy()[nz],
+                                   lens[nz]),
+        }
+        if with_positions:
+            cols["positions"] = np.concatenate(
+                pdf["positions"].to_numpy()[nz])
+        postings = pd.DataFrame(cols)
+    else:
+        postings = pd.DataFrame(
+            {"doc_id": [], "term": [], "tf": [], "fieldnorm": [],
+             "positions": []})
+    packed = pack_postings_frame(postings, block_size=block_size,
+                                 with_positions=with_positions,
+                                 codec=opts.codec)
+    packed.insert(0, "segment_id", seg_id)
+    nbytes = write_segment_files(seg_dir, packed, docs, with_positions)
+
+    dfreqs = packed.groupby("term")["doc_freq"].sum() if len(packed) else pd.Series(dtype=np.int64)
+    max_df = int(dfreqs.max()) if len(dfreqs) else 0
+    mean_df = float(dfreqs.mean()) if len(dfreqs) else 0.0
+    stats = {
+        "segment_id": seg_id,
+        "num_docs": int(len(docs)),
+        "total_len": int(docs["doc_len"].sum()),
+        "num_terms": int(dfreqs.size),
+        "num_postings": int(len(postings)),
+        "bytes": int(nbytes),
+        "min_doc_id": int(docs["doc_id"].min()) if len(docs) else 0,
+        "max_doc_id": int(docs["doc_id"].max()) if len(docs) else 0,
+        "max_doc_freq": max_df,
+        "skew_factor": float(max_df / mean_df) if mean_df else 0.0,
+        "resumed": False,
+    }
+    if write_marker:
+        marker = os.path.join(seg_dir, SEG_MARKER)
+        with open(marker + ".tmp", "w") as f:
+            json.dump(stats, f)
+        os.replace(marker + ".tmp", marker)
+    return stats
+
+
 def make_packer(index_path: str, seg_ids: dict[int, str], opts: Bm25Options,
                 doc_cols: list[str] | None = None):
     """applyInPandas function packing one segment group (B5-B10).
@@ -116,8 +188,6 @@ def make_packer(index_path: str, seg_ids: dict[int, str], opts: Bm25Options,
     ``doc_cols``: extra per-doc columns (content_sha256 + source metadata)
     carried through the tokenizer pass and written into the per-segment
     docmap — the docmap needs NO second scan of the source."""
-    with_positions = opts.store_positions
-    block_size = opts.block_size
     doc_cols = doc_cols or []
 
     def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -130,68 +200,130 @@ def make_packer(index_path: str, seg_ids: dict[int, str], opts: Bm25Options,
                 st = json.load(f)
             st["resumed"] = True
             return pd.DataFrame([st])[list(PACK_STATS_SCHEMA.names)]
-
-        # duplicate doc ids (repeated natural keys or an xxhash64
-        # collision) would silently inflate num_docs/total_len and
-        # double-count scores — fail loudly instead
-        dup = pdf["doc_id"].duplicated()
-        if dup.any():
-            bad = pdf["doc_id"][dup].iloc[0]
-            raise ValueError(
-                f"duplicate doc_id {bad} in segment {seg_id}: source has "
-                "repeated ids/natural keys (dedupe the input, or pass a "
-                "unique id_col)")
-        # input is ONE array-packed row per doc (doc_term_arrays);
-        # re-flatten to postings at C speed with repeat/concatenate
-        docs = (pdf[["doc_id", "doc_len", "fieldnorm"] + doc_cols]
-                .sort_values("doc_id"))
-        lens = np.fromiter((len(t) for t in pdf["terms"]),
-                           dtype=np.int64, count=len(pdf))
-        nz = lens > 0
-        if nz.any():
-            cols = {
-                "doc_id": np.repeat(pdf["doc_id"].to_numpy()[nz], lens[nz]),
-                "term": np.concatenate(pdf["terms"].to_numpy()[nz]),
-                "tf": np.concatenate(pdf["tfs"].to_numpy()[nz]),
-                "fieldnorm": np.repeat(pdf["fieldnorm"].to_numpy()[nz],
-                                       lens[nz]),
-            }
-            if with_positions:
-                cols["positions"] = np.concatenate(
-                    pdf["positions"].to_numpy()[nz])
-            postings = pd.DataFrame(cols)
-        else:
-            postings = pd.DataFrame(
-                {"doc_id": [], "term": [], "tf": [], "fieldnorm": [],
-                 "positions": []})
-        packed = pack_postings_frame(postings, block_size=block_size,
-                                     with_positions=with_positions,
-                                     codec=opts.codec)
-        packed.insert(0, "segment_id", seg_id)
-        nbytes = write_segment_files(seg_dir, packed, docs, with_positions)
-
-        dfreqs = packed.groupby("term")["doc_freq"].sum() if len(packed) else pd.Series(dtype=np.int64)
-        max_df = int(dfreqs.max()) if len(dfreqs) else 0
-        mean_df = float(dfreqs.mean()) if len(dfreqs) else 0.0
-        stats = {
-            "segment_id": seg_id,
-            "num_docs": int(len(docs)),
-            "total_len": int(docs["doc_len"].sum()),
-            "num_terms": int(dfreqs.size),
-            "num_postings": int(len(postings)),
-            "bytes": int(nbytes),
-            "min_doc_id": int(docs["doc_id"].min()) if len(docs) else 0,
-            "max_doc_id": int(docs["doc_id"].max()) if len(docs) else 0,
-            "max_doc_freq": max_df,
-            "skew_factor": float(max_df / mean_df) if mean_df else 0.0,
-            "resumed": False,
-        }
-        with open(marker + ".tmp", "w") as f:
-            json.dump(stats, f)
-        os.replace(marker + ".tmp", marker)
+        stats = _pack_segment_pdf(pdf, seg_id, seg_dir, opts, doc_cols)
         return pd.DataFrame([stats])[list(PACK_STATS_SCHEMA.names)]
 
     return pack
+
+
+def make_spill_packer(index_path: str, seg_ids: dict[int, str],
+                      opts: Bm25Options, doc_cols: list[str] | None = None):
+    """mapInPandas packer with a memory budget (B13/B14 — the reference's
+    maintenance_work_mem flush, src/access/build.c:1234-1248,1461-1536, and
+    the memtable auto-spill trigger, build.c:263-295).
+
+    Unlike applyInPandas (which materializes a whole group per task), the
+    iterator-of-batches shape lets a task flush an independent sub-segment
+    every time a bucket's buffered working set crosses
+    ``opts.spill_budget_bytes`` — bounded executor memory even when doc-id
+    bucketing is pathologically skewed. Sub-segments are ordinary level-0
+    segments (ids ``<seg>-pNNNN``): query/merge/compaction treat them like
+    streaming L0 appends, whose doc-id ranges may overlap too.
+
+    Resume unit = bucket: shuffled batch order is not deterministic across
+    task retries, so per-sub-segment markers can't prove completeness.
+    A bucket marker (``<seg>.bucket.json``) listing every sub-segment's
+    stats is written only after the bucket's final flush; retried tasks
+    overwrite sub-segments by deterministic name, and orphan dirs from a
+    shorter retry are unreachable (the manifest records only rows returned
+    by the successful task)."""
+    doc_cols = doc_cols or []
+    budget = int(opts.spill_budget_bytes)
+
+    per_post = 48 if opts.store_positions else 40
+
+    def row_costs(g: pd.DataFrame) -> "np.ndarray":
+        # working-set proxy for the flatten in _pack_segment_pdf: one
+        # posting row ≈ 8B doc_id + 8B tf + 8B fieldnorm + term chars +
+        # ~16B object overhead; positions add ~8B/posting
+        return np.fromiter(
+            (per_post * len(t) + sum(len(w) for w in t) + 64
+             for t in g["terms"]),
+            dtype=np.float64, count=len(g))
+
+    def pack_stream(batches):
+        acc: dict[int, list[pd.DataFrame]] = {}
+        sizes: dict[int, int] = {}
+        seen_ids: dict[int, set] = {}
+        flushed: dict[int, list[dict]] = {}
+        skip: set[int] = set()
+        resumed_rows: list[dict] = []
+
+        def flush(seg_no: int) -> pd.DataFrame:
+            pdf = pd.concat(acc.pop(seg_no), ignore_index=True)
+            sizes.pop(seg_no)
+            subs = flushed.setdefault(seg_no, [])
+            seg_id = f"{seg_ids[seg_no]}-p{len(subs):04d}"
+            seg_dir = os.path.join(index_path, "segments", seg_id)
+            if os.path.exists(seg_dir):   # task retry: overwrite by name
+                shutil.rmtree(seg_dir)
+            st = _pack_segment_pdf(pdf, seg_id, seg_dir, opts, doc_cols,
+                                   write_marker=False)
+            subs.append(st)
+            return pd.DataFrame([st])[list(PACK_STATS_SCHEMA.names)]
+
+        for pdf in batches:
+            for seg_no, g in pdf.groupby("seg"):
+                seg_no = int(seg_no)
+                if seg_no in skip:
+                    continue
+                bucket_marker = os.path.join(
+                    index_path, "segments", f"{seg_ids[seg_no]}.bucket.json")
+                if seg_no not in acc and seg_no not in flushed:
+                    if os.path.exists(bucket_marker):  # bucket checkpoint
+                        with open(bucket_marker) as f:
+                            for st in json.load(f):
+                                st["resumed"] = True
+                                resumed_rows.append(st)
+                        skip.add(seg_no)
+                        continue
+                    seen_ids[seg_no] = set()
+                # cross-flush duplicate check (the in-pdf check inside
+                # _pack_segment_pdf only sees one flush at a time); the
+                # id set is ~8-32 B/doc — negligible next to the postings
+                # working set the budget bounds
+                ids = set(g["doc_id"].tolist())
+                seen = seen_ids[seg_no]
+                if len(ids) != len(g) or (seen & ids):
+                    bad = (g["doc_id"][g["doc_id"].duplicated()].iloc[0]
+                           if len(ids) != len(g) else next(iter(seen & ids)))
+                    raise ValueError(
+                        f"duplicate doc_id {bad} in segment "
+                        f"{seg_ids[seg_no]}: source has repeated "
+                        "ids/natural keys")
+                seen.update(ids)
+                # an Arrow batch can be much larger than the budget (default
+                # 10k rows/batch): split the group row-wise so every flush
+                # lands near the budget instead of swallowing whole batches
+                g = g.drop(columns=["seg"])
+                costs = row_costs(g)
+                i, n = 0, len(g)
+                while i < n:
+                    room = budget - sizes.get(seg_no, 0)
+                    cum = np.cumsum(costs[i:])
+                    j = int(np.searchsorted(cum, room)) + 1
+                    take = g.iloc[i:i + j]
+                    acc.setdefault(seg_no, []).append(take)
+                    sizes[seg_no] = (sizes.get(seg_no, 0)
+                                     + float(cum[min(j, len(cum)) - 1]))
+                    i += j
+                    if sizes[seg_no] >= budget:
+                        yield flush(seg_no)
+
+        for seg_no in list(acc):
+            yield flush(seg_no)
+        # bucket markers: written ONLY now, when every sub-segment of every
+        # bucket this task owns is durably on disk (finalize-then-mark)
+        for seg_no, subs in flushed.items():
+            bucket_marker = os.path.join(
+                index_path, "segments", f"{seg_ids[seg_no]}.bucket.json")
+            with open(bucket_marker + ".tmp", "w") as f:
+                json.dump(subs, f)
+            os.replace(bucket_marker + ".tmp", bucket_marker)
+        if resumed_rows:
+            yield pd.DataFrame(resumed_rows)[list(PACK_STATS_SCHEMA.names)]
+
+    return pack_stream
 
 
 def _murmur3_32_int(x: int, seed: int = 42) -> int:
@@ -448,12 +580,26 @@ class Bm25Index:
         seg_col = F.element_at(
             F.array(*[F.lit(int(t)) for t in seg_tokens]), seg_col + 1)
         doc_cols = ["content_sha256"] + meta_cols
-        stats_df = (
-            postings.withColumn("seg", seg_col)
-            .groupBy("seg")
-            .applyInPandas(make_packer(path, seg_ids, opts, doc_cols),
-                           PACK_STATS_SCHEMA)
-        )
+        if opts.spill_budget_bytes is not None:
+            # B13/B14 budget path: mapInPandas streams Arrow batches, so a
+            # bucket never materializes beyond ~spill_budget_bytes — the
+            # flush unit drops below the partition when a bucket is huge.
+            # repartition-by-seg uses the same Murmur3 hashpartitioning the
+            # groupBy would, so the collision-free tokens still give one
+            # bucket per task.
+            stats_df = (
+                postings.withColumn("seg", seg_col)
+                .repartition(pack_parts, "seg")
+                .mapInPandas(make_spill_packer(path, seg_ids, opts, doc_cols),
+                             PACK_STATS_SCHEMA)
+            )
+        else:
+            stats_df = (
+                postings.withColumn("seg", seg_col)
+                .groupBy("seg")
+                .applyInPandas(make_packer(path, seg_ids, opts, doc_cols),
+                               PACK_STATS_SCHEMA)
+            )
         # one pack task per segment: the pack stage is CPU-heavy with few
         # groups; AQE's byte-based coalescing (e.g. 64 groups -> 22 tasks)
         # and hash collisions both create multi-segment straggler tasks

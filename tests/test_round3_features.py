@@ -316,3 +316,47 @@ def test_register_collision_warns(spark, natural3, tmp_path):
                         str(tmp_path / "y" / "same"), id_col="id",
                         opts=SIMPLE, num_segments=1)
     assert a is not None
+
+
+# ---------------------------------------------------- B13/B14 budget spill
+
+def test_spill_budget_build_matches_unbudgeted(spark, natural3, tmp_path):
+    """A tiny spill budget must sub-chunk buckets into multiple level-0
+    sub-segments while leaving every score identical to the default build
+    (global stats make segment layout score-invariant)."""
+    base = Bm25Index.build(spark, natural3, "content",
+                           str(tmp_path / "plain"), id_col="id",
+                           opts=SIMPLE, num_segments=4)
+    sopts = Bm25Options(text_config="simple", spill_budget_bytes=64 * 1024)
+    spill = Bm25Index.build(spark, natural3, "content",
+                            str(tmp_path / "spill"), id_col="id",
+                            opts=sopts, num_segments=4)
+    segs = spill.manifest.segments
+    assert len(segs) > 4, "budget never triggered a sub-flush"
+    assert all("-p" in s.segment_id for s in segs)
+    # bucket doc sets are disjoint and complete
+    assert sum(s.num_docs for s in segs) == 2500
+    for q in ("alpha", "alpha w1 w2", "w3 w4"):
+        want = [(r["doc_id"], r["score"]) for r in base.search(q, k=15).collect()]
+        got = [(r["doc_id"], r["score"]) for r in spill.search(q, k=15).collect()]
+        assert got == want, q
+
+
+def test_spill_budget_resume_skips_buckets(spark, natural3, tmp_path):
+    sopts = Bm25Options(text_config="simple", spill_budget_bytes=64 * 1024)
+    p = str(tmp_path / "spill_r")
+    first = Bm25Index.build(spark, natural3, "content", p, id_col="id",
+                            opts=sopts, num_segments=4)
+    n_segs = len(first.manifest.segments)
+    want = [(r["doc_id"], r["score"])
+            for r in first.search("alpha w1", k=10).collect()]
+    # wipe the manifest but keep segment dirs + bucket markers: the rebuild
+    # must take the bucket checkpoint path for every bucket
+    import os as _os
+    _os.remove(_os.path.join(p, "manifest.json"))
+    again = Bm25Index.build(spark, natural3, "content", p, id_col="id",
+                            opts=sopts, num_segments=4, resume=True)
+    assert len(again.manifest.segments) == n_segs
+    got = [(r["doc_id"], r["score"])
+           for r in again.search("alpha w1", k=10).collect()]
+    assert got == want
