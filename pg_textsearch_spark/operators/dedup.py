@@ -424,6 +424,17 @@ ORDER BY doc_a, doc_b
 
 # -------------------------------------------- embedding cosine near-dups
 
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for a DataFrame (file bytes for parquet
+    scans) — the planner's own broadcast-sizing statistic, costs no job.
+    Falls back to 'too big' if the internal API ever moves, which only
+    flips the caller to the always-correct repartitioned plan."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:
+        return 1 << 62
+
 def embedding_dup_pairs(embs: DataFrame, threshold: float = 0.9,
                         vec_col: str = "embedding",
                         id_col: str = "vec_id") -> DataFrame:
@@ -443,9 +454,11 @@ def embedding_dup_pairs(embs: DataFrame, threshold: float = 0.9,
     # non-broadcast nested-loop plan.
     par = max(embs.sparkSession.sparkContext.defaultParallelism, 8)
     a = base.repartition(par, "vec_id").alias("a")
-    n_rows = embs.count()
-    dim = len(embs.select(vec_col).first()[0]) if n_rows else 0
-    if n_rows * max(dim, 1) * 8 <= 512 * 1024 * 1024:
+    # size the broadcast from Catalyst's own plan statistics (file-size
+    # based for parquet sources) instead of a driver count()+first() pair —
+    # zero extra jobs, and it's the same estimate Spark's planner uses for
+    # its broadcast decisions
+    if _plan_size_bytes(embs) <= 512 * 1024 * 1024:
         b = F.broadcast(base).alias("b")
     else:
         b = base.repartition(par).alias("b")

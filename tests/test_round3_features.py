@@ -360,3 +360,22 @@ def test_spill_budget_resume_skips_buckets(spark, natural3, tmp_path):
     got = [(r["doc_id"], r["score"])
            for r in again.search("alpha w1", k=10).collect()]
     assert got == want
+
+
+def test_bitpack_with_positions_phrase(spark, natural3, tmp_path):
+    """Positions sidecar is codec-independent (always varbyte): phrase
+    queries on a bitpack index must match the varbyte index exactly."""
+    bopts = Bm25Options(text_config="simple", posting_codec="bitpack",
+                        store_positions=True)
+    vopts = Bm25Options(text_config="simple", store_positions=True)
+    bp = Bm25Index.build(spark, natural3, "content", str(tmp_path / "bpp"),
+                         id_col="id", opts=bopts, num_segments=2)
+    vb = Bm25Index.build(spark, natural3, "content", str(tmp_path / "vbp"),
+                         id_col="id", opts=vopts, num_segments=2)
+
+    def rows(df):
+        return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+    for q in ("alpha alpha", "alpha w1", "w2 w3"):
+        assert rows(bp.search(q, k=10, mode="phrase")) == \
+            rows(vb.search(q, k=10, mode="phrase")), q
