@@ -122,11 +122,51 @@ def _split_chunks(text: str) -> list[str]:
     return chunks
 
 
+# bytes fast path for the ASCII token class: every byte outside [a-z0-9_]
+# becomes a space (UTF-8 lead/continuation bytes are all >= 0x80, so
+# non-ASCII codepoints split tokens exactly like the regex does)
+_ASCII_TOKEN_TABLE = bytes(
+    c if (97 <= c <= 122 or 48 <= c <= 57 or c == 95) else 32
+    for c in range(256))
+
+
 def _chunk_term_freqs(chunk: str, config: str, stem_cache: dict[str, str | None]) -> Counter:
     """(lexeme -> tf) for one chunk; tf saturates at MAX_TF per chunk."""
     pattern, stopwords, stem_fn = _CONFIGS[config]
     if pattern == "pg":
         return _pg_chunk_term_freqs(chunk, stopwords, stem_fn, stem_cache)
+    if pattern is TOKEN_PATTERN:
+        # lower -> utf-8 -> translate -> split is ~1.5x the regex findall
+        # (measured on the 400k source-code corpus) and token-identical to
+        # it: tokens are pure-ASCII runs, and byte order == codepoint
+        # order for [a-z0-9_]. Decodes happen once per UNIQUE word via the
+        # shared cache (bytes keys can't collide with the str keys other
+        # paths put in the same dict).
+        raw = Counter(chunk.lower().encode("utf-8", "ignore")
+                      .translate(_ASCII_TOKEN_TABLE).split())
+        out: Counter = Counter()
+        if stem_fn is None:
+            for bword, cnt in raw.items():
+                if len(bword) > MAX_WORD_LEN:
+                    continue
+                w = stem_cache.get(bword)
+                if w is None:
+                    w = stem_cache[bword] = bword.decode("ascii")
+                out[w] += min(cnt, MAX_TF)
+            return out
+        for bword, cnt in raw.items():
+            lex = stem_cache.get(bword, "?")
+            if lex == "?":
+                word = bword.decode("ascii")
+                if len(word) > MAX_WORD_LEN or (stopwords and word in stopwords):
+                    lex = None
+                else:
+                    lex = stem_fn(word)
+                stem_cache[bword] = lex
+            if lex is None:
+                continue
+            out[lex] += min(cnt, MAX_TF)
+        return out
     raw = Counter(pattern.findall(chunk.lower()))
     out: Counter = Counter()
     if stem_fn is None:

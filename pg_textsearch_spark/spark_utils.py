@@ -226,7 +226,8 @@ def _tokenize_with_positions(text, config, cache):
     phrase queries; positions are 1-based indexes in the kept-token stream,
     like tsvector positions)."""
     from .functions.tokenizer import (
-        _CONFIGS, resolve_config, MAX_WORD_LEN, MAX_TF)
+        _CONFIGS, resolve_config, MAX_WORD_LEN, MAX_TF,
+        TOKEN_PATTERN, _ASCII_TOKEN_TABLE)
     if not text:
         return [], [], 0, []
     pattern, stopwords, stem_fn = _CONFIGS[resolve_config(config)]
@@ -248,6 +249,12 @@ def _tokenize_with_positions(text, config, cache):
                 lex = w
             posmap.setdefault(lex, []).append(p)
         words = []
+    elif pattern is TOKEN_PATTERN:
+        # same bytes fast path as _chunk_term_freqs: token-identical to the
+        # regex for the ASCII class, ~1.5x faster; decodes are memoized per
+        # unique word in the shared cache (bytes keys)
+        words = (text.lower().encode("utf-8", "ignore")
+                 .translate(_ASCII_TOKEN_TABLE).split())
     else:
         words = pattern.findall(text.lower())
     pos = 0
@@ -257,11 +264,16 @@ def _tokenize_with_positions(text, config, cache):
         if stem_fn is not None:
             lex = cache.get(w, "?")
             if lex == "?":
-                lex = None if (stopwords and w in stopwords) else stem_fn(w)
+                sw = w.decode("ascii") if type(w) is bytes else w
+                lex = None if (stopwords and sw in stopwords) else stem_fn(sw)
                 cache[w] = lex
             if lex is None:
                 pos += 1  # tsvector counts stopword positions
                 continue
+        elif type(w) is bytes:
+            lex = cache.get(w)
+            if lex is None:
+                lex = cache[w] = w.decode("ascii")
         else:
             lex = w
         pos += 1
