@@ -41,6 +41,14 @@ def timed(fn, n=3):
     return round(min(runs), 4)
 
 
+def _row_groups(parquet_path: str) -> int:
+    import glob
+    import pyarrow.parquet as pq
+    files = glob.glob(os.path.join(parquet_path, "*.parquet")) \
+        if os.path.isdir(parquet_path) else [parquet_path]
+    return sum(pq.ParquetFile(f).num_row_groups for f in files)
+
+
 def hw_control() -> float:
     """Fixed single-thread CPU workload (numpy matmul chain) timed in this
     process — a machine-load fingerprint embedded in every bench artifact.
@@ -212,6 +220,13 @@ def main() -> None:
             "index_bytes": stats["bytes"],
             "max_skew_factor": stats["max_skew_factor"],
             "cpus": cpus,
+            # sf0.1 documents.parquet is ONE row group: the map side of
+            # every pipeline operator (p1-p6) is a single task at this toy
+            # scale regardless of cpus — their latencies ride single-core
+            # speed (BENCH.md round-3 analysis); at production scale inputs
+            # arrive as thousands of row-group splits
+            "input_row_groups": _row_groups(
+                os.path.join(sf_dir, "documents.parquet")),
         },
         "bmw": bmw,
         "extra": extra,

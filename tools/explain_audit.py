@@ -100,6 +100,28 @@ single Arrow-batched mapInPandas pass (measured 2x faster than a pure-
 Catalyst expression tower, BENCH.md); everything after the packer is
 embarrassingly parallel per segment."""))
 
+    # 3b. budget spill pack stage (B13/B14): repartition + mapInPandas
+    from pg_textsearch_spark.index.build import (PACK_STATS_SCHEMA,
+                                                 make_spill_packer)
+    sopts = Bm25Options(text_config="simple", spill_budget_bytes=1 << 20)
+    sarrs = doc_term_arrays(docs, "text", "doc_id", sopts)
+    spill_df = (
+        sarrs.withColumn("seg", (F.col("doc_id") % 4).cast("int"))
+        .repartition(8, "seg")
+        .mapInPandas(make_spill_packer(
+            "/tmp/pgts_plan_probe", {i: f"seg-{i:06d}" for i in range(4)},
+            sopts, []), PACK_STATS_SCHEMA))
+    sections.append((
+        "B13/B14 budget spill pack stage (plan only)",
+        formatted(spill_df),
+        """With spill_budget_bytes set, the pack stage swaps
+groupBy().applyInPandas (whole group materialized per task) for
+repartition-by-segment + MapInPandas: the SAME single hash exchange,
+but the task consumes an ITERATOR of Arrow batches and flushes an
+independent level-0 sub-segment whenever a bucket's buffered working
+set crosses the budget — executor memory stays bounded under
+pathological doc-id skew. (Plan captured without execution.)"""))
+
     # 4. exact dedup: map-side partial aggregation
     sections.append((
         "exact_dedup (hash groupBy)",
