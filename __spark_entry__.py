@@ -282,6 +282,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         Bm25Options(text_config="simple", posting_codec="bitpack")
         ).search(Q_MULTI, k=10)
 
+    # --- budget spill packer (B13/B14, reference maintenance_work_mem
+    # flush src/access/build.c:1234-1248): a tiny budget forces multi-
+    # sub-segment buckets; scores are layout-invariant ---
+    q["bm25_topk_spill"] = lambda s, d: _cached_index(
+        s, d, "spill",
+        Bm25Options(text_config="simple", spill_budget_bytes=16 * 1024)
+        ).search(Q_MULTI, k=10)
+
     # --- expression index (reference README.md:196-217: index over an
     # expression, e.g. title || ' ' || body) — the Spark-first analogue
     # indexes a derived column; searched and scored identically ---
@@ -421,6 +429,8 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
         opts=Bm25Options(text_config="simple", k1=0.9, b=0.4))
     # posting codec changes bytes, not results: the standard oracle applies
     o["bm25_topk_bitpack"] = bm25_oracle.bm25_oracle_sql(Q_MULTI, k=10)
+    # spill sub-segmenting changes layout, not stats/scores: same oracle
+    o["bm25_topk_spill"] = bm25_oracle.bm25_oracle_sql(Q_MULTI, k=10)
     # expression index: the oracle tokenizes the same derived expression
     o["bm25_expr_index"] = bm25_oracle.bm25_oracle_sql(
         Q_MULTI, k=10, text_col="concat_ws(' ', lang, text)")
