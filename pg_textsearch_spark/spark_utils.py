@@ -184,7 +184,7 @@ def doc_term_arrays(df: DataFrame, text_col: str, id_col: str,
         for pdf in batches:
             ids = pdf["doc_id"].to_numpy()
             texts = pdf["text"]
-            terms_c, tfs_c, dls, fns, pos_c = [], [], [], [], []
+            terms_c, tfs_c, dls, pos_c = [], [], [], []
             for text in texts:
                 if want_pos:
                     terms, tfs, dl, pos = _tokenize_with_positions(
@@ -195,11 +195,12 @@ def doc_term_arrays(df: DataFrame, text_col: str, id_col: str,
                 terms_c.append(terms)
                 tfs_c.append(np.asarray(tfs, dtype=np.int32))
                 dls.append(dl)
-                fns.append(int(encode_fieldnorm([dl])[0]))
+            dl_arr = np.asarray(dls, dtype=np.int64)
             data = {"doc_id": ids.astype(np.int64), "terms": terms_c,
                     "tfs": tfs_c,
-                    "doc_len": np.asarray(dls, dtype=np.int64),
-                    "fieldnorm": np.asarray(fns, dtype=np.int32)}
+                    "doc_len": dl_arr,
+                    "fieldnorm": encode_fieldnorm(dl_arr)
+                    .astype(np.int32)}
             if want_pos:
                 data["positions"] = pos_c
             if with_sha:
