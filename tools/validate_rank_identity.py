@@ -344,7 +344,17 @@ The reference's BMW shows the same data dependence; doc-id reordering
 (length- or content-correlated assignment) is the standard layout fix
 and is future work for auto-assigned ids."""]
     report = "\n".join(lines) + "\n"
-    with open(os.path.join(REPO, "VALIDATION.md"), "w") as f:
+    # preserve manually-appended sections (e.g. the Cranfield parity
+    # section) across regeneration: everything from the first '## Round'
+    # heading onward is carried over verbatim
+    out_path = os.path.join(REPO, "VALIDATION.md")
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            old = f.read()
+        cut = old.find("\n## Round")
+        if cut != -1:
+            report += old[cut:]
+    with open(out_path, "w") as f:
         f.write(report)
     print(report)
     return 0 if not mism else 1
