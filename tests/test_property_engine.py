@@ -34,14 +34,15 @@ QUERY = st.lists(st.sampled_from(VOCAB + ["missing"]), min_size=1,
 @given(corpus=CORPUS, query=QUERY,
        cfg=st.sampled_from(["simple", "english"]),
        codec=st.sampled_from(["varbyte", "bitpack"]),
-       mode=st.sampled_from(["or", "and"]),
+       mode=st.sampled_from(["or", "and", "phrase"]),
        segs=st.integers(min_value=1, max_value=3))
 def test_index_matches_exhaustive(spark, tmp_path_factory, corpus, query,
                                   cfg, codec, mode, segs):
     docs = spark.createDataFrame(
         [(i + 1, " ".join(words)) for i, words in enumerate(corpus)],
         "doc_id long, text string")
-    opts = Bm25Options(text_config=cfg, posting_codec=codec)
+    opts = Bm25Options(text_config=cfg, posting_codec=codec,
+                       store_positions=(mode == "phrase"))
     q = " ".join(query)
 
     want = [(r["doc_id"], r["score"]) for r in score_exhaustive(
