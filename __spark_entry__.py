@@ -334,6 +334,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_embed_blocked"] = lambda s, d: dedup.embedding_dup_pairs_blocked(
         _embs(s, d), threshold=0.45, n_bands=16, band_bits=4)
 
+    # hot-bucket-capped LSH joins (the crawl-corpus mega-duplicate guard):
+    # band buckets above the cap are excluded from the self-join; the caps
+    # here are small enough to actually drop buckets at sf0.01, so the
+    # oracle twin verifies the cap SEMANTICS, not a no-op
+    q["dedup_minhash_capped"] = lambda s, d: dedup.minhash_candidate_pairs(
+        _docs(s, d), max_band_docs=3)
+    q["dedup_simhash_capped"] = lambda s, d: dedup.simhash_pairs(
+        _docs(s, d), max_hamming=3, max_band_docs=5)
+    q["dedup_embed_capped"] = lambda s, d: dedup.embedding_dup_pairs_blocked(
+        _embs(s, d), threshold=0.45, n_bands=16, band_bits=4,
+        max_band_docs=40)
+
     # near-dup clustering: connected components (min-label propagation)
     # over the MinHash-LSH candidate pairs with est_jaccard >= 0.5
     q["dedup_clusters"] = lambda s, d: dedup.dedup_clusters(
@@ -362,6 +374,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _INDEX_CACHE[key] = art
         return art.search_ids(ANN_QUERY_IDS, k=5, nprobe=2)
     q["ann_ivf_index_topk"] = _ivf_index
+
+    # IVF lifecycle: build on half the corpus (trains centroids), append
+    # the other half (assign-to-existing-centroids, no retrain — FAISS
+    # add-after-train semantics), then search the full index. The oracle
+    # twin trains its centroid CTE on the same half only.
+    def _ivf_appended(s, d):
+        key = "ivfapp:" + os.path.abspath(d)
+        art = _INDEX_CACHE.get(key)
+        if art is None:
+            tag = hashlib.md5(key.encode()).hexdigest()[:10]
+            path = os.path.join(tempfile.gettempdir(), f"pgts_ivf_{tag}")
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            embs = _embs(s, d)
+            art = similarity.IvfIndex.build(
+                s, embs.filter(F.col("vec_id") % 2 == 0), path,
+                n_centroids=16, n_iters=2)
+            art.append(embs.filter(F.col("vec_id") % 2 == 1))
+            _INDEX_CACHE[key] = art
+        return art.search_ids(ANN_QUERY_IDS, k=5, nprobe=2)
+    q["ann_ivf_appended_topk"] = _ivf_appended
 
     # --- multimodal plumbing ---
     q["multimodal_features"] = lambda s, d: multimodal.extract_features(
@@ -462,6 +495,14 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
     o["dedup_embed_blocked"] = dedup.embedding_dup_pairs_blocked_oracle_sql(
         threshold=0.45, dim=EMB_DIM, n_bands=16, band_bits=4)
 
+    o["dedup_minhash_capped"] = dedup.minhash_candidate_pairs_oracle_sql(
+        max_band_docs=3)
+    o["dedup_simhash_capped"] = dedup.simhash_pairs_oracle_sql(
+        max_hamming=3, max_band_docs=5)
+    o["dedup_embed_capped"] = dedup.embedding_dup_pairs_blocked_oracle_sql(
+        threshold=0.45, dim=EMB_DIM, n_bands=16, band_bits=4,
+        max_band_docs=40)
+
     o["dedup_clusters"] = dedup.dedup_clusters_oracle_sql(
         dedup.minhash_candidate_pairs_oracle_sql(), min_sim=0.5)
 
@@ -471,6 +512,9 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
         ANN_QUERY_IDS, k=5, dim=EMB_DIM, n_iters=2)
     o["ann_ivf_index_topk"] = similarity.ivf_topk_oracle_sql(
         ANN_QUERY_IDS, k=5, dim=EMB_DIM, n_iters=2)
+    o["ann_ivf_appended_topk"] = similarity.ivf_topk_oracle_sql(
+        ANN_QUERY_IDS, k=5, dim=EMB_DIM, n_iters=2,
+        train_where="vec_id % 2 = 0")
 
     o["multimodal_features"] = multimodal.extract_features_oracle_sql()
     o["multimodal_sniff"] = multimodal.sniff_mime_oracle_sql()

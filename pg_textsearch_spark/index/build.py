@@ -48,6 +48,7 @@ PACK_STATS_SCHEMA = T.StructType([
     T.StructField("segment_id", T.StringType()),
     T.StructField("num_docs", T.LongType()),
     T.StructField("total_len", T.LongType()),
+    T.StructField("total_qlen", T.LongType()),
     T.StructField("num_terms", T.LongType()),
     T.StructField("num_postings", T.LongType()),
     T.StructField("bytes", T.LongType()),
@@ -160,10 +161,14 @@ def _pack_segment_pdf(pdf: pd.DataFrame, seg_id: str, seg_dir: str,
     dfreqs = packed.groupby("term")["doc_freq"].sum() if len(packed) else pd.Series(dtype=np.int64)
     max_df = int(dfreqs.max()) if len(dfreqs) else 0
     mean_df = float(dfreqs.mean()) if len(dfreqs) else 0.0
+    from ..functions.fieldnorm import DECODE_TABLE
     stats = {
         "segment_id": seg_id,
         "num_docs": int(len(docs)),
         "total_len": int(docs["doc_len"].sum()),
+        # Σ quantized lengths — avgdl_mode='quantized' divides this by N
+        "total_qlen": int(DECODE_TABLE[
+            docs["fieldnorm"].to_numpy(dtype=np.int64)].sum()),
         "num_terms": int(dfreqs.size),
         "num_postings": int(len(postings)),
         "bytes": int(nbytes),
@@ -199,6 +204,7 @@ def make_packer(index_path: str, seg_ids: dict[int, str], opts: Bm25Options,
             with open(marker) as f:
                 st = json.load(f)
             st["resumed"] = True
+            st.setdefault("total_qlen", 0)   # marker from an older build
             return pd.DataFrame([st])[list(PACK_STATS_SCHEMA.names)]
         stats = _pack_segment_pdf(pdf, seg_id, seg_dir, opts, doc_cols)
         return pd.DataFrame([stats])[list(PACK_STATS_SCHEMA.names)]
@@ -223,10 +229,12 @@ def make_spill_packer(index_path: str, seg_ids: dict[int, str],
     Resume unit = bucket: shuffled batch order is not deterministic across
     task retries, so per-sub-segment markers can't prove completeness.
     A bucket marker (``<seg>.bucket.json``) listing every sub-segment's
-    stats is written only after the bucket's final flush; retried tasks
-    overwrite sub-segments by deterministic name, and orphan dirs from a
-    shorter retry are unreachable (the manifest records only rows returned
-    by the successful task)."""
+    stats is written only after the bucket's final flush. Sub-segment dirs
+    embed the task ATTEMPT number (``<seg>-aK-pNNNN``) so a retry — or a
+    speculative duplicate attempt racing the original — never writes the
+    dirs another live attempt owns; the manifest records only the rows
+    returned by the winning attempt, and orphan dirs from losing attempts
+    are unreachable (``vacuum`` reclaims them)."""
     doc_cols = doc_cols or []
     budget = int(opts.spill_budget_bytes)
 
@@ -242,6 +250,9 @@ def make_spill_packer(index_path: str, seg_ids: dict[int, str],
             dtype=np.float64, count=len(g))
 
     def pack_stream(batches):
+        from pyspark import TaskContext
+        ctx = TaskContext.get()
+        attempt = int(ctx.attemptNumber()) if ctx is not None else 0
         acc: dict[int, list[pd.DataFrame]] = {}
         sizes: dict[int, int] = {}
         seen_ids: dict[int, set] = {}
@@ -253,10 +264,10 @@ def make_spill_packer(index_path: str, seg_ids: dict[int, str],
             pdf = pd.concat(acc.pop(seg_no), ignore_index=True)
             sizes.pop(seg_no)
             subs = flushed.setdefault(seg_no, [])
-            seg_id = f"{seg_ids[seg_no]}-p{len(subs):04d}"
+            seg_id = f"{seg_ids[seg_no]}-a{attempt}-p{len(subs):04d}"
             seg_dir = os.path.join(index_path, "segments", seg_id)
-            if os.path.exists(seg_dir):   # task retry: overwrite by name
-                shutil.rmtree(seg_dir)
+            if os.path.exists(seg_dir):   # stale dir from a DEAD prior run
+                shutil.rmtree(seg_dir)    # (attempt-unique within this run)
             st = _pack_segment_pdf(pdf, seg_id, seg_dir, opts, doc_cols,
                                    write_marker=False)
             subs.append(st)
@@ -274,6 +285,7 @@ def make_spill_packer(index_path: str, seg_ids: dict[int, str],
                         with open(bucket_marker) as f:
                             for st in json.load(f):
                                 st["resumed"] = True
+                                st.setdefault("total_qlen", 0)
                                 resumed_rows.append(st)
                         skip.add(seg_no)
                         continue
@@ -616,29 +628,25 @@ class Bm25Index:
                              PACK_STATS_SCHEMA)
             )
         else:
+            # one pack task per segment: the pack stage is CPU-heavy with
+            # few groups; AQE's byte-based coalescing (e.g. 64 groups -> 22
+            # tasks) and hash collisions both create multi-segment
+            # straggler tasks whose max time IS the stage wall. An EXPLICIT
+            # repartition(pack_parts, seg) pins the exchange width (AQE
+            # never coalesces a user-specified partition count) and its
+            # hash partitioning already satisfies the groupBy's clustered
+            # distribution, so no second exchange is inserted — and no
+            # session conf is mutated (a save/restore of
+            # spark.sql.shuffle.partitions would pin the session to the
+            # resolved default when the user never set it explicitly).
             stats_df = (
                 postings.withColumn("seg", seg_col)
+                .repartition(pack_parts, "seg")
                 .groupBy("seg")
                 .applyInPandas(make_packer(path, seg_ids, opts, doc_cols),
                                PACK_STATS_SCHEMA)
             )
-        # one pack task per segment: the pack stage is CPU-heavy with few
-        # groups; AQE's byte-based coalescing (e.g. 64 groups -> 22 tasks)
-        # and hash collisions both create multi-segment straggler tasks
-        # whose max time IS the stage wall. The collision-free tokens plus
-        # a pinned shuffle width (coalescing off, set/restore around this
-        # one action) give exactly one segment per task.
-        conf = spark.conf
-        saved = {k: conf.get(k) for k in
-                 ("spark.sql.shuffle.partitions",
-                  "spark.sql.adaptive.coalescePartitions.enabled")}
-        try:
-            conf.set("spark.sql.shuffle.partitions", str(pack_parts))
-            conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-            stats = stats_df.collect()
-        finally:
-            for k, v in saved.items():
-                conf.set(k, v)
+        stats = stats_df.collect()
 
         total = 0
         for r in stats:
@@ -646,6 +654,7 @@ class Bm25Index:
             manifest.add_segment(SegmentRecord(
                 segment_id=r["segment_id"], level=0,
                 num_docs=r["num_docs"], total_len=r["total_len"],
+                total_qlen=r["total_qlen"],
                 num_terms=r["num_terms"], num_postings=r["num_postings"],
                 bytes=r["bytes"], min_doc_id=r["min_doc_id"],
                 max_doc_id=r["max_doc_id"], max_doc_freq=r["max_doc_freq"],

@@ -136,9 +136,35 @@ def clear_deletes(index) -> None:
     shutil.rmtree(_deletes_path(index), ignore_errors=True)
 
 
+def reclaim_orphans(index) -> int:
+    """Remove segment directories not referenced by the manifest, plus
+    stale spill bucket markers (M5 page reclamation for build leftovers).
+
+    Orphans arise from failed/speculative spill-pack attempts (sub-segment
+    dirs are attempt-unique, so a losing attempt's dirs are never
+    referenced) and from builds killed before their manifest commit. Only
+    call on a committed index — an in-flight resumable build's segments
+    are not yet in the manifest."""
+    seg_root = os.path.join(index.path, "segments")
+    if not os.path.isdir(seg_root):
+        return 0
+    live = {s.segment_id for s in index.manifest.segments}
+    removed = 0
+    for name in os.listdir(seg_root):
+        full = os.path.join(seg_root, name)
+        if name.endswith(".bucket.json"):
+            os.unlink(full)
+            continue
+        if os.path.isdir(full) and name not in live:
+            shutil.rmtree(full, ignore_errors=True)
+            removed += 1
+    return removed
+
+
 def vacuum(index) -> dict:
     """Physically drop tombstoned docs: force-merge all segments with
-    dead-doc filtering, rewrite the global docmap, clear tombstones."""
+    dead-doc filtering, rewrite the global docmap, clear tombstones, and
+    reclaim unreferenced segment dirs left by failed build attempts."""
     from .merge import force_merge_all, merge_segments
 
     tombs = load_deletes(index)
@@ -152,5 +178,7 @@ def vacuum(index) -> dict:
             seg = index.manifest.segments[0]
             merge_segments(index, [seg], out_level=seg.level)
     clear_deletes(index)
+    orphans = reclaim_orphans(index)
     return {"docs_before": before, "docs_after": index.manifest.total_docs,
-            "tombstones_cleared": int(tombs.size)}
+            "tombstones_cleared": int(tombs.size),
+            "orphan_dirs_reclaimed": orphans}

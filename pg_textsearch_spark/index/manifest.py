@@ -51,13 +51,19 @@ class SegmentRecord:
     level: int
     num_docs: int
     total_len: int
-    num_terms: int
-    num_postings: int
-    bytes: int
-    min_doc_id: int
-    max_doc_id: int
-    max_doc_freq: int
-    skew_factor: float          # max_doc_freq / mean_doc_freq
+    # sum of QUANTIZED doc lengths (decode(encode(dl))) — feeds avgdl when
+    # the index was built with avgdl_mode='quantized' (the reference SQL
+    # oracle's convention, test/sql/validation.sql:131-141). 0 on records
+    # written before this field existed; Manifest.avgdl refuses to score a
+    # quantized-mode index whose records predate it.
+    total_qlen: int = 0
+    num_terms: int = 0
+    num_postings: int = 0
+    bytes: int = 0
+    min_doc_id: int = 0
+    max_doc_id: int = 0
+    max_doc_freq: int = 0
+    skew_factor: float = 0.0    # max_doc_freq / mean_doc_freq
     lineage: dict = field(default_factory=dict)
 
     def to_dict(self) -> dict:
@@ -91,9 +97,26 @@ class Manifest:
         return sum(s.total_len for s in self.segments)
 
     @property
+    def total_qlen(self) -> int:
+        return sum(s.total_qlen for s in self.segments)
+
+    @property
     def avgdl(self) -> float:
+        """Corpus avgdl under the index's configured convention: raw
+        (engine/reference-metapage default) or quantized (the reference SQL
+        oracle's convention — Σ decode(encode(dl))/N, matching
+        operators/exhaustive.py so index and exhaustive paths agree)."""
         n = self.total_docs
-        return (self.total_len / n) if n else 1.0
+        if not n:
+            return 1.0
+        if getattr(self.opts, "avgdl_mode", "raw") == "quantized":
+            ql = self.total_qlen
+            if ql == 0 and self.total_len > 0:
+                raise ValueError(
+                    "index was written before per-segment quantized length "
+                    "sums existed; rebuild it to use avgdl_mode='quantized'")
+            return ql / n
+        return self.total_len / n
 
     def new_segment_id(self) -> str:
         sid = f"seg-{self.next_segment:06d}"
@@ -136,6 +159,7 @@ class Manifest:
         d = self.to_dict()
         seg_pq = os.path.join(self.path, SEGMENTS_PARQUET)
         n_segs = sum(len(v) for v in d["levels"].values())
+        stale_sidecar = False
         if n_segs > SEG_PARQUET_THRESHOLD:
             # columnar sidecar, written FIRST; the JSON rename is still the
             # atomic commit point (a reader never sees a v3 manifest whose
@@ -145,8 +169,12 @@ class Manifest:
             d["format_version"] = FORMAT_VERSION_PARQUET
             d["levels"] = {}
             d["segments_file"] = SEGMENTS_PARQUET
-        elif os.path.exists(seg_pq):
-            os.unlink(seg_pq)       # shrank back below the threshold
+        else:
+            # shrank back below the threshold: the sidecar is deleted AFTER
+            # the JSON commit below — unlinking first would leave a window
+            # where a crash strands the old v3 manifest pointing at a
+            # deleted sidecar (unloadable index)
+            stale_sidecar = os.path.exists(seg_pq)
         fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".manifest.tmp")
         try:
             with os.fdopen(fd, "w") as f:
@@ -155,6 +183,11 @@ class Manifest:
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
+        if stale_sidecar:
+            try:
+                os.unlink(seg_pq)   # best-effort, post-commit
+            except OSError:
+                pass
 
     def _write_segments_parquet(self, dest: str) -> None:
         import pyarrow as pa
@@ -162,9 +195,9 @@ class Manifest:
         recs = [(lvl, s) for lvl, segs in sorted(self.levels.items())
                 for s in segs]
         cols: dict[str, list] = {"level": [l for l, _ in recs]}
-        for name in ("segment_id", "num_docs", "total_len", "num_terms",
-                     "num_postings", "bytes", "min_doc_id", "max_doc_id",
-                     "max_doc_freq", "skew_factor"):
+        for name in ("segment_id", "num_docs", "total_len", "total_qlen",
+                     "num_terms", "num_postings", "bytes", "min_doc_id",
+                     "max_doc_id", "max_doc_freq", "skew_factor"):
             cols[name] = [getattr(s, name) for _, s in recs]
         cols["lineage_json"] = [json.dumps(s.lineage) for _, s in recs]
         pq.write_table(pa.table(cols), dest, compression="zstd")
@@ -181,6 +214,8 @@ class Manifest:
                 level=int(cols["level"][i]),
                 num_docs=int(cols["num_docs"][i]),
                 total_len=int(cols["total_len"][i]),
+                total_qlen=int(cols["total_qlen"][i])
+                if "total_qlen" in cols else 0,
                 num_terms=int(cols["num_terms"][i]),
                 num_postings=int(cols["num_postings"][i]),
                 bytes=int(cols["bytes"][i]),

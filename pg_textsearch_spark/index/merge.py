@@ -179,9 +179,14 @@ def merge_segments(index, seg_records: list[SegmentRecord], out_level: int,
         F.min("min_doc_id").alias("min_id"),
         F.max("last_doc_id").alias("max_id"),
     ).collect()[0]
+    from ..functions.fieldnorm import DECODE_TABLE
+    qlen_col = F.element_at(
+        F.array(*[F.lit(int(v)) for v in DECODE_TABLE]),
+        F.col("fieldnorm").cast("int") + 1).cast("long")
     dstats = spark.read.parquet(os.path.join(seg_dir, "docs")).agg(
         F.count(F.lit(1)).alias("num_docs"),
         F.sum("doc_len").alias("total_len"),
+        F.sum(qlen_col).alias("total_qlen"),
     ).collect()[0]
     tstats = (spark.read.parquet(os.path.join(seg_dir, "postings"))
               .groupBy("term").agg(F.sum("doc_freq").alias("df"))
@@ -195,6 +200,7 @@ def merge_segments(index, seg_records: list[SegmentRecord], out_level: int,
     rec = SegmentRecord(
         segment_id=seg_id, level=out_level,
         num_docs=int(dstats["num_docs"]), total_len=int(dstats["total_len"] or 0),
+        total_qlen=int(dstats["total_qlen"] or 0),
         num_terms=int(st["num_terms"] or 0), num_postings=int(st["num_postings"] or 0),
         bytes=int(nbytes),
         min_doc_id=int(st["min_id"] if st["min_id"] is not None else 0),

@@ -338,11 +338,24 @@ def _run_maxscore(readers: dict[str, _TermReader], weights: dict[str, float],
     return uniq, scores, counts
 
 
+class _DictMergeParam:
+    """AccumulatorParam merging per-task {term: global_df} dicts — every
+    segment kernel reports the SAME global value per term (the window
+    aggregate), so updates are idempotent under task retries."""
+    def zero(self, value):
+        return {}
+
+    def addInPlace(self, a, b):
+        a.update(b)
+        return a
+
+
 def make_segment_kernel(qfreqs: dict[str, float], n_docs: int,
                         k: int | None, opts: Bm25Options, avgdl: float,
                         mode: str, phrase_occs: list[tuple[str, int]] | None,
                         deleted_bc=None, static_df: dict[str, int] | None = None,
-                        round_to: int = 4, profile: bool = False):
+                        round_to: int = 4, profile: bool = False,
+                        df_accum=None):
     """Build the applyInPandas kernel. ``qfreqs``: term -> query frequency.
 
     IDFs are computed inside the kernel from the ``gdf`` column (global
@@ -395,8 +408,13 @@ def make_segment_kernel(qfreqs: dict[str, float], n_docs: int,
             weights = {t: qfreqs[t] * idf(n_docs, static_df[t])
                        for t in per_term}
         else:
-            weights = {t: qfreqs[t] * idf(n_docs, int(rows_[0]["gdf"]))
-                       for t, rows_ in per_term.items()}
+            gdfs = {t: int(rows_[0]["gdf"]) for t, rows_ in per_term.items()}
+            weights = {t: qfreqs[t] * idf(n_docs, g) for t, g in gdfs.items()}
+            if df_accum is not None:
+                # ride the global dfs back to the driver with this job's
+                # task results — the NEXT query on these terms skips the
+                # window without a separate cache-warming job
+                df_accum.add(gdfs)
 
         blocks_total = sum(int(r["num_blocks"])
                            for rows_ in per_term.values() for r in rows_)
@@ -569,19 +587,40 @@ def _search_local(index: "Bm25Index", query: str, k, mode: str,
 
     # per-manifest-version doc_freq cache: df only changes on
     # build/append/merge, so repeated query terms skip the aggregation
-    # entirely — warm queries are ONE no-shuffle-to-window job
+    # entirely — warm queries are ONE no-window job
     ver = (index.manifest.updated_at, len(index.manifest.segments))
     cached = getattr(index, "_df_cache", None)
     if cached is None or cached[0] != ver:
         index._df_cache = (ver, {})
     dfc = index._df_cache[1]
+    # drain accumulators from earlier cold queries the USER has since
+    # executed: their kernels shipped {term: global_df} back with the task
+    # results, so the cache fills without ever running a second job
+    pending = getattr(index, "_pending_df_accums", [])
+    still = []
+    for pver, pterms, acc in pending:
+        if pver != ver:
+            continue        # stale manifest version — discard
+        vals = acc.value
+        if vals:
+            dfc.update({t: int(v) for t, v in vals.items()})
+            for t in pterms:
+                dfc.setdefault(t, 0)   # queried but absent from postings
+        else:
+            still.append((pver, pterms, acc))   # not executed yet
+    index._pending_df_accums = still[-8:]
+
     static_df = None
+    df_accum = None
     if all(t in dfc for t in terms):
         static_df = {t: dfc[t] for t in terms}
+    else:
+        df_accum = spark.sparkContext.accumulator({}, _DictMergeParam())
 
     kernel = make_segment_kernel(qfreqs, n, k, opts, avgdl, mode, phrase_occs,
                                  deleted_bc=deleted_bc, static_df=static_df,
-                                 round_to=round_to, profile=profile)
+                                 round_to=round_to, profile=profile,
+                                 df_accum=df_accum)
     postings = _read_postings(index, terms)
     if phrase_occs is None:
         # applyInPandas ships every input column to the kernel (no
@@ -596,20 +635,19 @@ def _search_local(index: "Bm25Index", query: str, k, mode: str,
     if profile:
         out_schema += ", segment_id string, blocks_decoded long, blocks_total long"
     if static_df is None:
-        # cold terms — the search job itself stays ONE job: global
-        # per-term doc_freq via a window aggregate (tiny — only the query
-        # terms' dictionary rows flow through it), then the per-segment
-        # scoring kernel. A small extra dictionary aggregation fills the
-        # cache so the NEXT query on these terms skips the window.
+        # cold terms — still exactly ONE job: global per-term doc_freq via
+        # a window aggregate (tiny — only the query terms' dictionary rows
+        # flow through it) feeds the per-segment scoring kernel, and the
+        # kernels ship {term: gdf} back through an accumulator with the
+        # SAME job's task results. The cache fills when the user executes
+        # the query; the next query on these terms skips the window.
         from pyspark.sql import Window
         rows = postings.withColumn(
             "gdf", F.sum("doc_freq").over(Window.partitionBy("term")))
         local = rows.groupBy("segment_id").applyInPandas(kernel, out_schema)
-        for r in (postings.groupBy("term")
-                  .agg(F.sum("doc_freq").alias("df")).collect()):
-            dfc[r["term"]] = int(r["df"])
-        for t in terms:
-            dfc.setdefault(t, 0)
+        pend = getattr(index, "_pending_df_accums", [])
+        pend.append((ver, list(terms), df_accum))
+        index._pending_df_accums = pend[-8:]
     else:
         local = postings.groupBy("segment_id").applyInPandas(kernel, out_schema)
     return local, k

@@ -230,9 +230,25 @@ FROM ex GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def _cap_band_buckets_sql(keys: list[str],
+                          max_band_docs: int | None) -> str:
+    """SQL twin of ``_cap_band_buckets``: rewrites ``bands`` from
+    ``bands0``, dropping buckets above the cap (empty string when off —
+    callers then name their band CTE ``bands`` directly)."""
+    if max_band_docs is None:
+        return ""
+    on = " AND ".join(f"b.{k} = h.{k}" for k in keys)
+    return f""",
+hot AS (SELECT {", ".join(keys)} FROM bands0
+        GROUP BY {", ".join(keys)} HAVING count(*) > {max_band_docs}),
+bands AS (SELECT b.* FROM bands0 b LEFT JOIN hot h ON {on}
+          WHERE h.{keys[0]} IS NULL)"""
+
+
 def minhash_candidate_pairs_oracle_sql(table: str = "documents",
                                        text_col: str = "text",
-                                       id_col: str = "doc_id") -> str:
+                                       id_col: str = "doc_id",
+                                       max_band_docs: int | None = None) -> str:
     n_bands = NUM_HASHES // BAND_SIZE
     band_rows = []
     for bnd in range(n_bands):
@@ -246,6 +262,7 @@ def minhash_candidate_pairs_oracle_sql(table: str = "documents",
     eq = " + ".join(
         f"(CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END)"
         for i in range(NUM_HASHES))
+    bname = "bands0" if max_band_docs is not None else "bands"
     return f"""
 WITH {_shingle_base_sql(table, text_col, id_col)},
 ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM shing),
@@ -254,9 +271,9 @@ sig AS (
          {_mh_sql_cols()}
   FROM ex GROUP BY doc_id
 ),
-bands AS (
+{bname} AS (
   {bands_sql}
-)
+){_cap_band_buckets_sql(["band", "bkey"], max_band_docs)}
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        ROUND(({eq}) / {float(NUM_HASHES)}, 4) AS est_jaccard
 FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
@@ -265,12 +282,39 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _cap_band_buckets(bands: DataFrame, keys: list[str],
+                      max_band_docs: int | None) -> DataFrame:
+    """Hot-bucket guard shared by the LSH pair generators: drop band
+    buckets holding more than ``max_band_docs`` members from the self-join.
+
+    Crawl corpora carry 10^5-10^6-copy exact-duplicate clusters; every copy
+    lands in the SAME band bucket, so an uncapped bucket self-join emits
+    |bucket|^2 rows — 10^12 for one mega-cluster. A bucket that large is by
+    construction an exact-duplicate (or boilerplate) cluster, which
+    ``exact_dedup``/``dedup_clusters`` handle at O(n); dropping it bounds
+    the join fanout to max_band_docs^2 per bucket. Members can still pair
+    through their other (smaller) bands. The hot set has at most
+    n/max_band_docs entries, so the guard is a broadcast anti-join — a
+    map-side filter, same shape as ``max_shingle_df``."""
+    if max_band_docs is None:
+        return bands
+    hot = (bands.groupBy(*keys).agg(F.count("*").alias("df"))
+           .filter(F.col("df") > max_band_docs).select(*keys))
+    return bands.join(F.broadcast(hot), keys, "left_anti")
+
+
 def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
-                            id_col: str = "doc_id") -> DataFrame:
+                            id_col: str = "doc_id",
+                            max_band_docs: int | None = None) -> DataFrame:
     """LSH banding: band key = hash of BAND_SIZE consecutive signature
     entries; candidate pair = docs sharing any band bucket; est_jaccard =
     fraction of equal signature entries. The join is keyed by (band, key) —
-    bucket sizes bound the fanout, the classic LSH scale shape."""
+    bucket sizes bound the fanout, the classic LSH scale shape.
+
+    ``max_band_docs`` is the 100 TB hot-bucket guard (see
+    ``_cap_band_buckets``): band buckets larger than the cap — exact-dup
+    mega-clusters — are excluded from the join. ``None`` disables it (the
+    exact oracle baseline)."""
     # materialize the signatures once: they feed 2 join sides x n_bands
     # band rows, and recomputing them re-runs the shingle explode + 8 md5
     # aggregations. localCheckpoint (not persist) so the cached blocks are
@@ -292,6 +336,7 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
                        F.explode(band_structs).alias("bb"))
             .select("doc_id", *[F.col(f"mh_{i}") for i in range(NUM_HASHES)],
                     F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")))
+    allb = _cap_band_buckets(allb, ["band", "bkey"], max_band_docs)
     a, b = allb.alias("a"), allb.alias("b")
     eq = sum(
         F.when(F.col(f"a.mh_{i}") == F.col(f"b.mh_{i}"), 1).otherwise(0)
@@ -364,13 +409,20 @@ SIMHASH_BANDS = 4   # 4 bytes: hamming <= 3 pairs share >= 1 exact band
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
-                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                  text_col: str = "text", id_col: str = "doc_id",
+                  max_band_docs: int | None = None) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, generated WITHOUT an
     all-pairs comparison: split the 32-bit fingerprint into 4 exact-match
     bands of 8 bits (pigeonhole: any pair with hamming <= 3 differs in at
     most 3 bands, so shares at least one), self-join on (band, value) —
     the only shuffle key, bucket sizes bound the fanout — then verify the
-    true distance with bit_count(xor). Returns (doc_a, doc_b, hamming)."""
+    true distance with bit_count(xor). Returns (doc_a, doc_b, hamming).
+
+    ``max_band_docs``: hot-bucket guard — band buckets larger than the cap
+    (exact-dup mega-clusters, which would make the bucket join quadratic)
+    are excluded; see ``_cap_band_buckets``. NOTE: with the cap on, the
+    pigeonhole recall guarantee holds only for pairs outside dropped
+    buckets."""
     if max_hamming >= SIMHASH_BANDS:
         raise ValueError("banding guarantees recall only for "
                          f"max_hamming < {SIMHASH_BANDS}")
@@ -385,6 +437,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
             for i in range(SIMHASH_BANDS)])).alias("bb")) \
         .select("doc_id", "simhash", F.col("bb.band").alias("band"),
                 F.col("bb.bval").alias("bval"))
+    bands = _cap_band_buckets(bands, ["band", "bval"], max_band_docs)
     a, b = bands.alias("a"), bands.alias("b")
     ham = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash")).cast("long"))
@@ -400,19 +453,21 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
 
 def simhash_pairs_oracle_sql(max_hamming: int = 3, table: str = "documents",
                              text_col: str = "text",
-                             id_col: str = "doc_id") -> str:
+                             id_col: str = "doc_id",
+                             max_band_docs: int | None = None) -> str:
     inner = simhash_oracle_sql(table, text_col, id_col).strip()
     band_rows = "\n  UNION ALL\n  ".join(
         f"SELECT doc_id, simhash, {i} AS band, "
         f"(simhash >> {i * 8}) & 255 AS bval FROM sig"
         for i in range(SIMHASH_BANDS))
+    bname = "bands0" if max_band_docs is not None else "bands"
     return f"""
 WITH sig AS (
 {inner}
 ),
-bands AS (
+{bname} AS (
   {band_rows}
-)
+){_cap_band_buckets_sql(["band", "bval"], max_band_docs)}
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
 FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval
@@ -497,7 +552,8 @@ def embedding_dup_pairs_blocked(embs: DataFrame, threshold: float = 0.9,
                                 vec_col: str = "embedding",
                                 id_col: str = "vec_id",
                                 n_bands: int = EMB_BANDS,
-                                band_bits: int = EMB_BAND_BITS) -> DataFrame:
+                                band_bits: int = EMB_BAND_BITS,
+                                max_band_docs: int | None = None) -> DataFrame:
     """Embedding near-dup pairs WITHOUT the n^2 theta-join — the 100 TB
     path. Random-hyperplane (sign-bit) LSH: each vector's signature is the
     sign pattern of its coordinates, split into ``n_bands`` exact-match
@@ -523,6 +579,7 @@ def embedding_dup_pairs_blocked(embs: DataFrame, threshold: float = 0.9,
             for j in range(n_bands)])).alias("bb")) \
         .select("vec_id", F.col("bb.band").alias("band"),
                 F.col("bb.bval").alias("bval"))
+    bands = _cap_band_buckets(bands, ["band", "bval"], max_band_docs)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (a.join(b, ["band", "bval"])
             .filter(F.col("a.vec_id") < F.col("b.vec_id"))
@@ -546,21 +603,23 @@ def embedding_dup_pairs_blocked_oracle_sql(threshold: float = 0.9,
                                            vec_col: str = "embedding",
                                            id_col: str = "vec_id",
                                            n_bands: int = EMB_BANDS,
-                                           band_bits: int = EMB_BAND_BITS) -> str:
+                                           band_bits: int = EMB_BAND_BITS,
+                                           max_band_docs: int | None = None) -> str:
     band_rows = "\n  UNION ALL\n  ".join(
         f"SELECT vec_id, v, nrm, {j} AS band, "
         f"{_sign_band_sql(j, band_bits)} AS bval FROM base"
         for j in range(n_bands))
     dot = DOT_SQL.format(dim=dim, a="a.v", b="b.v")
+    bname = "bands0" if max_band_docs is not None else "bands"
     return f"""
 WITH base AS (
   SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS v,
          {NORM_SQL.format(a=f"{vec_col}::DOUBLE[]")} AS nrm
   FROM {table}
 ),
-bands AS (
+{bname} AS (
   {band_rows}
-)
+){_cap_band_buckets_sql(["band", "bval"], max_band_docs)}
 SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ROUND({dot} / (a.nrm * b.nrm), 4) AS cos
 FROM bands a JOIN bands b

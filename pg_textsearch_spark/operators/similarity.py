@@ -74,11 +74,14 @@ def ivf_centroids(base: DataFrame, n_centroids: int, n_iters: int,
     return cents
 
 
-def ivf_centroids_sql(n_centroids: int, n_iters: int, dim: int) -> str:
+def ivf_centroids_sql(n_centroids: int, n_iters: int, dim: int,
+                      train_table: str = "base") -> str:
     """CTE chain (appended after a ``base(vec_id, v, nrm)`` CTE) ending in
-    ``cents(cent_id, cv, cn)`` — the exact SQL twin of ivf_centroids."""
+    ``cents(cent_id, cv, cn)`` — the exact SQL twin of ivf_centroids.
+    ``train_table`` restricts training to a subset CTE (the oracle twin of
+    build-then-append: centroids trained on the build set only)."""
     parts = [f"""cents0 AS (
-  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM base
+  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM {train_table}
   ORDER BY vec_id LIMIT {n_centroids}
 )"""]
     prev = "cents0"
@@ -90,7 +93,7 @@ def ivf_centroids_sql(n_centroids: int, n_iters: int, dim: int) -> str:
            ROW_NUMBER() OVER (PARTITION BY b.vec_id
              ORDER BY {DOT_SQL.format(dim=dim, a='b.v', b='c.cv')} / (b.nrm * c.cn) DESC,
                       c.cent_id ASC) AS rn
-    FROM base b, {prev} c)
+    FROM {train_table} b, {prev} c)
   WHERE rn = 1
 ),
 mean{it} AS (
@@ -203,15 +206,24 @@ def ivf_topk_oracle_sql(query_ids: list[int], k: int = 5,
                         n_iters: int = 2,
                         table: str = "embeddings",
                         vec_col: str = "embedding",
-                        id_col: str = "vec_id") -> str:
+                        id_col: str = "vec_id",
+                        train_where: str = "") -> str:
+    """``train_where`` (e.g. ``"vec_id < 250"``): train centroids on that
+    subset only — the oracle twin of IvfIndex.build + append (assignment
+    and search still cover the FULL table)."""
     ids = ", ".join(str(i) for i in query_ids)
+    train_cte = ""
+    train_table = "base"
+    if train_where:
+        train_cte = f"trainbase AS (SELECT * FROM base WHERE {train_where}),\n"
+        train_table = "trainbase"
     return f"""
 WITH base AS (
   SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS v,
          {NORM_SQL.format(a=f"{vec_col}::DOUBLE[]")} AS nrm
   FROM {table}
 ),
-{ivf_centroids_sql(n_centroids, n_iters, dim)},
+{train_cte}{ivf_centroids_sql(n_centroids, n_iters, dim, train_table)},
 assigned AS (
   SELECT vec_id, v, nrm, cent_id FROM (
     SELECT b.vec_id, b.v, b.nrm, c.cent_id,
@@ -294,6 +306,34 @@ class IvfIndex:
     def _cents(self) -> DataFrame:
         import os as _os
         return self.spark.read.parquet(_os.path.join(self.path, "centroids"))
+
+    def append(self, embs: DataFrame, vec_col: str = "embedding",
+               id_col: str = "vec_id") -> int:
+        """Append new vectors: assign each to its nearest EXISTING centroid
+        and append into that bucket's partition directory (the standard IVF
+        lifecycle — FAISS's ``add`` after ``train``). Centroids are NOT
+        retrained, so recall can drift if the appended distribution differs
+        from the training set; rebuild to retrain. Duplicate vec_ids are
+        rejected loudly (they would double-count in search results).
+
+        Scale shape: one broadcast-centroid assignment pass over the new
+        vectors + an append-mode partitioned write — never touches existing
+        bucket files. Returns the number of vectors appended."""
+        import os as _os
+        base = _with_norm(embs, vec_col, id_col)
+        buckets = self.spark.read.parquet(_os.path.join(self.path, "buckets"))
+        dup = (buckets.select("vec_id")
+               .join(base.select("vec_id"), "vec_id").limit(1).collect())
+        if dup:
+            raise ValueError(
+                f"vec_id {dup[0]['vec_id']} already present in the index; "
+                "IvfIndex.append requires new ids")
+        assigned = _assign(base, self._cents())
+        n = assigned.count()
+        (assigned.repartition("cent_id")
+         .write.mode("append").partitionBy("cent_id")
+         .parquet(_os.path.join(self.path, "buckets")))
+        return n
 
     def search_ids(self, query_ids: list[int], k: int = 5,
                    nprobe: int = 2) -> DataFrame:

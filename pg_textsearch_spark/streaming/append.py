@@ -64,6 +64,7 @@ def append_batch(index, docs: DataFrame, text_col: str, id_col: str,
         rec = SegmentRecord(
             segment_id=r["segment_id"], level=0,
             num_docs=r["num_docs"], total_len=r["total_len"],
+            total_qlen=r["total_qlen"],
             num_terms=r["num_terms"], num_postings=r["num_postings"],
             bytes=r["bytes"], min_doc_id=r["min_doc_id"],
             max_doc_id=r["max_doc_id"], max_doc_freq=r["max_doc_freq"],

@@ -1,0 +1,195 @@
+"""Round-4 features: quantized-avgdl index path, spill attempt isolation,
+orphan reclamation, cold-query single-job df cache."""
+
+import os
+
+import pytest
+
+from pg_textsearch_spark.config import Bm25Options
+from pg_textsearch_spark.index.build import Bm25Index
+from pg_textsearch_spark.operators.exhaustive import score_exhaustive
+
+WORDS = ("hello world cruel kind apple banana orange quick brown fox "
+         "jumps lazy dog code index merge spark engine query").split()
+
+
+def _corpus(spark, n=200, seed=7):
+    import random
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        m = rng.randint(3, 60)
+        rows.append((i, " ".join(rng.choice(WORDS) for _ in range(m))))
+    return spark.createDataFrame(rows, "id long, content string")
+
+
+def _rows(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+def test_quantized_avgdl_index_matches_exhaustive(spark, tmp_path):
+    """avgdl_mode='quantized' must flow into Manifest.avgdl so the segment
+    index scores exactly like the exhaustive scorer (the reference SQL
+    oracle's convention, /root/reference/test/sql/validation.sql:131-141)."""
+    docs = _corpus(spark)
+    opts = Bm25Options(text_config="simple", avgdl_mode="quantized")
+    idx = Bm25Index.build(spark, docs, "content", str(tmp_path / "qidx"),
+                          id_col="id", opts=opts, num_segments=3)
+    # manifests must expose the quantized convention
+    raw_opts = Bm25Options(text_config="simple")
+    idx_raw = Bm25Index.build(spark, docs, "content", str(tmp_path / "ridx"),
+                              id_col="id", opts=raw_opts, num_segments=3)
+    assert idx.manifest.avgdl != pytest.approx(idx_raw.manifest.avgdl), \
+        "quantized and raw avgdl coincide — corpus not exercising the flag"
+    for q in ("hello world", "quick brown fox", "banana"):
+        got = _rows(idx.search(q, k=15))
+        want = _rows(score_exhaustive(spark, docs, "content", "id", q,
+                                      opts=opts, k=15))
+        assert got == want, f"query {q!r}: index != exhaustive under quantized"
+
+
+def test_quantized_avgdl_survives_merge_and_append(spark, tmp_path):
+    from pg_textsearch_spark.streaming.append import append_batch
+    docs = _corpus(spark, n=150)
+    extra = _corpus(spark, n=60, seed=11).selectExpr("id + 1000 as id",
+                                                     "content")
+    opts = Bm25Options(text_config="simple", avgdl_mode="quantized",
+                       segments_per_level=2)
+    idx = Bm25Index.build(spark, docs, "content", str(tmp_path / "m"),
+                          id_col="id", opts=opts, num_segments=2)
+    append_batch(idx, extra, "content", "id", auto_compact=False)
+    idx.force_merge()
+    full = docs.union(extra)
+    for q in ("hello world", "spark engine"):
+        got = _rows(idx.search(q, k=10))
+        want = _rows(score_exhaustive(spark, full, "content", "id", q,
+                                      opts=opts, k=10))
+        assert got == want
+
+
+def test_legacy_index_rejects_quantized(tmp_path, spark):
+    """An index whose records predate total_qlen must refuse quantized
+    scoring loudly instead of silently using raw avgdl."""
+    docs = _corpus(spark, n=50)
+    opts = Bm25Options(text_config="simple", avgdl_mode="quantized")
+    idx = Bm25Index.build(spark, docs, "content", str(tmp_path / "l"),
+                          id_col="id", opts=opts, num_segments=1)
+    for s in idx.manifest.segments:   # simulate a pre-round-4 manifest
+        s.total_qlen = 0
+    with pytest.raises(ValueError, match="rebuild"):
+        _ = idx.manifest.avgdl
+
+
+def test_cold_query_is_one_spark_job(spark, tmp_path):
+    """A cold single query must be exactly ONE Spark job: the global-df
+    cache fills from an accumulator riding the query job's own task
+    results, not from a second warming collect (round-3 verdict defect)."""
+    docs = _corpus(spark, n=120)
+    idx = Bm25Index.build(spark, docs, "content", str(tmp_path / "one"),
+                          id_col="id",
+                          opts=Bm25Options(text_config="simple"),
+                          num_segments=2)
+    sc = spark.sparkContext
+    st = sc.statusTracker()
+
+    def jobs_for(group, fn):
+        sc.setJobGroup(group, group)
+        try:
+            fn()
+        finally:
+            sc.setJobGroup(None, None)
+        return st.getJobIdsForGroup(group)
+
+    # AQE materializes each shuffle stage as its own job, which would hide
+    # an extra ACTION in the count — pin it off for the measurement. Also
+    # prime the parquet FileIndex cache with an unrelated query first.
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        idx.search("banana", k=3).collect()
+        cold = jobs_for("r4-cold",
+                        lambda: idx.search("hello fox", k=5).collect())
+        assert len(cold) == 1, f"cold query ran {len(cold)} jobs: {cold}"
+        # the executed job's accumulator fills the df cache on the next call
+        warm = jobs_for("r4-warm",
+                        lambda: idx.search("hello fox", k=5).collect())
+        assert len(warm) == 1, f"warm query ran {len(warm)} jobs: {warm}"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    dfc = idx._df_cache[1]
+    assert "hello" in dfc and "fox" in dfc and dfc["hello"] > 0
+    # warm and cold paths must score identically
+    assert _rows(idx.search("hello fox", k=5)) == _rows(
+        score_exhaustive(spark, docs, "content", "id", "hello fox",
+                         opts=Bm25Options(text_config="simple"), k=5))
+
+
+def test_lsh_hot_bucket_guard_bounds_mega_duplicates(spark):
+    """A crawl-style corpus with one huge exact-duplicate cluster must not
+    make the LSH band joins quadratic: with max_band_docs set, the
+    mega-cluster's buckets are dropped (exact_dedup handles those at O(n))
+    while pairs among the distinct docs survive."""
+    from pg_textsearch_spark.operators import dedup
+    import random
+    rng = random.Random(3)
+    mega = "the exact same boilerplate page content repeated everywhere " * 4
+    rows = [(i, mega) for i in range(2000)]
+    distinct = [(2000 + i,
+                 " ".join(rng.choice(WORDS) for _ in range(30)))
+                for i in range(40)]
+    # one near-dup pair among the distinct docs
+    distinct.append((9001, distinct[0][1] + " extra"))
+    docs = spark.createDataFrame(rows + distinct, "doc_id long, text string")
+
+    pairs = dedup.minhash_candidate_pairs(docs, max_band_docs=100).collect()
+    ids = {p["doc_a"] for p in pairs} | {p["doc_b"] for p in pairs}
+    assert all(i >= 2000 for i in ids), "mega-cluster leaked into the join"
+    assert any({p["doc_a"], p["doc_b"]} == {2000, 9001} for p in pairs), \
+        "near-dup pair among distinct docs lost recall"
+    assert len(pairs) < 40 * 40
+
+    sh_pairs = dedup.simhash_pairs(docs, max_hamming=3,
+                                   max_band_docs=100).collect()
+    assert all(p["doc_a"] >= 2000 for p in sh_pairs)
+    assert len(sh_pairs) < 40 * 40
+
+    # exact dedup still reports the cluster at O(n)
+    ex = dedup.exact_dedup(docs).filter("n_copies >= 2000").collect()
+    assert len(ex) >= 1
+
+
+def test_embedding_blocked_hot_bucket_guard(spark):
+    from pg_textsearch_spark.operators import dedup
+    import random
+    rng = random.Random(5)
+    same = [1.0] * 16
+    rows = [(i, same) for i in range(1500)]
+    rows += [(2000 + i, [rng.uniform(-1, 1) for _ in range(16)])
+             for i in range(30)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = dedup.embedding_dup_pairs_blocked(
+        embs, threshold=0.9, n_bands=4, band_bits=4,
+        max_band_docs=100).collect()
+    assert all(p["vec_a"] >= 2000 for p in pairs)
+    assert len(pairs) < 30 * 30
+
+
+def test_vacuum_reclaims_orphan_dirs(spark, tmp_path):
+    docs = _corpus(spark, n=80)
+    idx = Bm25Index.build(spark, docs, "content", str(tmp_path / "v"),
+                          id_col="id",
+                          opts=Bm25Options(text_config="simple"),
+                          num_segments=2)
+    # plant an orphan sub-segment dir + stale bucket marker, as a losing
+    # speculative spill attempt would leave behind
+    seg_root = os.path.join(idx.path, "segments")
+    orphan = os.path.join(seg_root, "seg-000099-a1-p0000")
+    os.makedirs(orphan)
+    with open(os.path.join(seg_root, "seg-000099.bucket.json"), "w") as f:
+        f.write("[]")
+    before = _rows(idx.search("hello", k=5))
+    res = idx.vacuum()
+    assert res["orphan_dirs_reclaimed"] >= 1
+    assert not os.path.exists(orphan)
+    assert not os.path.exists(os.path.join(seg_root, "seg-000099.bucket.json"))
+    assert _rows(idx.search("hello", k=5)) == before
