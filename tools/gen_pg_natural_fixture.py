@@ -67,8 +67,19 @@ _ASCII = re.compile(r"^[\x09\x0a\x20-\x7e]*$")
 
 def harvest_docs(n_docs: int) -> list[str]:
     """Natural-prose docs: module + public-member docstrings, ASCII-only,
-    >= 200 chars, deduped, in deterministic (module, qualname) order."""
+    deduped, in deterministic (module, qualname) order. Prefers >=200-char
+    docstrings; falls back to progressively shorter floors (still real
+    sentences) until n_docs is reached."""
+    docs: list[str] = []
     seen: set[str] = set()
+    for min_len in (200, 120, 80):
+        docs.extend(_harvest_pass(n_docs - len(docs), min_len, seen))
+        if len(docs) >= n_docs:
+            break
+    return docs
+
+
+def _harvest_pass(n_docs: int, min_len: int, seen: set[str]) -> list[str]:
     docs: list[str] = []
     for modname in MODULES:
         try:
@@ -106,7 +117,7 @@ def harvest_docs(n_docs: int) -> list[str]:
                         items.append((f"{name}.{mname}", md))
         for _, text in items:
             text = text.strip()
-            if len(text) < 200 or not _ASCII.match(text):
+            if len(text) < min_len or not _ASCII.match(text):
                 continue
             if "$pgts$" in text:
                 continue

@@ -88,6 +88,31 @@ CRAFTED = [
     "sv -2.5e-3 +0.5.1 -1.2 -0x1f -2fast",
     "fd /a/b. /a/b.. /a/b..c a/b. x/y.. /a/./b /a/../c",
     "hz e-f.gh i-j.k l.m-n o.p-q.rs t.u-v.w",
+    # round-4 additions: rules discovered by the natural-prose fixture +
+    # tools/fuzz_pg_parser.py differential fuzzing
+    "us1 parser.add_argument self.doc_header c.most_common(3)",
+    "us2 ast.PyCF_ONLY_AST mod.sub.func_name foo_bar.baz_qux",
+    "us3 x_y.z x.y_z a.b_c.d foo._bar foo_.bar a__b.cd ab_.a",
+    "us4 www.foo_bar.com foo.bar_ x.y_ x.y_/a a/_b a/b__c 7_x2.x2",
+    "us5 ab-_ab.cd ab_-7.cd mod.x_ a_.b_ _a.bc",
+    "hid1 /.hidden /.x2 foo/.a foo/.bar/baz .encode()/.decode()",
+    "hid2 foo/. foo/bar/. foo/.. foo/../bar /..x ./.x ../..",
+    "rel1 ./a ../b ./foo.bar ./foo/bar x ./a/b x./a/b x../a .../x",
+    "rel2 foo./a x2./7 x.//a (./a) x, ./b",
+    "num1 123E+1 12e5 1e-3 2.5e+10 7E2 12e5x 12e5.xy 1e2.3 12e 12e+",
+    "num2 886313e1-3b8a-5372-9b90 1.2.3e4 0x1f 7.7/ab 7.x2/ab 1.2.3/a",
+    "num3 7.ab/x x2.7/a 7/.a ab-ab-7 x2-ab-7 ab--7 ab -7",
+    "ent3 &x3e; &foo1; &2x; &gt; &#62;",
+    "tag3 <intro stuff goes here> <hello & hi there!> <Color.RED: 1>",
+    "tag4 <lkcl@samba.org> <a href=\"x y\">t</a> <div class=foo> <_a>",
+    "tag5 <a=b> <a \"b\"> <a b=\">\"> <a b = c> <!DOCTYPE html>",
+    "tag6 <doctest foo.py:0 (2 examples)> <Q\", sys.maxsize//3)",
+    "em3 sendmail-bugs@sendmail.org 1a@b.cd _a@b.cd a_@b.cd -a@b.cd",
+    "url5 https://mahler:8092/site-updates.py scheme://host/target",
+    "url6 http://a.b/x http://ab a://b mailto:user@x.yz http://w.co/p",
+    "url7 <URL:scheme://host/path> uri='https://m:80/s.py', foo.py:0",
+    "fl1 -h/--help a/-b a/b-c a-b/c x.y- x.y-z a.b--c a.b__c a.-b",
+    "fl2 a//b a/./b a/../b 7/7 x2/.7 sys.maxsize//3) h/--help",
 ]
 
 ATOMS = [
