@@ -144,8 +144,8 @@ def _chunk_term_freqs(chunk: str, config: str, stem_cache: dict[str, str | None]
         # paths put in the same dict).
         raw = Counter(chunk.lower().encode("utf-8", "ignore")
                       .translate(_ASCII_TOKEN_TABLE).split())
-        out: Counter = Counter()
         if stem_fn is None:
+            out: Counter = Counter()
             # bulk decode: ONE join/decode/split for all unique words
             # beats 1.8M per-word dict ops (measured 1.85s -> ~0.5s per
             # 20k docs). No word can exceed MAX_WORD_LEN when the whole
@@ -162,19 +162,35 @@ def _chunk_term_freqs(chunk: str, config: str, stem_cache: dict[str, str | None]
             out.update({w: (c if c <= MAX_TF else MAX_TF)
                         for w, c in zip(words, raw.values())})
             return out
-        for bword, cnt in raw.items():
-            lex = stem_cache.get(bword, "?")
-            if lex == "?":
+        # stemmed configs: pull the whole lexeme column with map(dict.get)
+        # (C-speed; None marks a cache miss, False a dropped word), resolve
+        # misses in a rare slow pass, then one cheap zip loop — no min()
+        # call or Counter.__missing__ per word (measured 1.34 -> ~2 M
+        # tokens/s steady-state on natural prose)
+        lexes = list(map(stem_cache.get, raw.keys()))
+        if None in lexes:
+            for pos_i, (bword, lex) in enumerate(zip(raw.keys(), lexes)):
+                if lex is not None:
+                    continue
                 word = bword.decode("ascii")
-                if len(word) > MAX_WORD_LEN or (stopwords and word in stopwords):
-                    lex = None
+                if len(word) > MAX_WORD_LEN or \
+                        (stopwords and word in stopwords):
+                    lex = False
                 else:
                     lex = stem_fn(word)
                 stem_cache[bword] = lex
-            if lex is None:
+                lexes[pos_i] = lex
+        od = {}
+        for lex, cnt in zip(lexes, raw.values()):
+            if lex is False:
                 continue
-            out[lex] += min(cnt, MAX_TF)
-        return out
+            if cnt > MAX_TF:
+                cnt = MAX_TF
+            if lex in od:
+                od[lex] += cnt
+            else:
+                od[lex] = cnt
+        return od
     raw = Counter(pattern.findall(chunk.lower()))
     out: Counter = Counter()
     if stem_fn is None:

@@ -268,7 +268,9 @@ def _tokenize_with_positions(text, config, cache):
                 sw = w.decode("ascii") if type(w) is bytes else w
                 lex = None if (stopwords and sw in stopwords) else stem_fn(sw)
                 cache[w] = lex
-            if lex is None:
+            if lex is None or lex is False:
+                # None = this path's dropped marker; False = the tokenize()
+                # fast path's (same cache dict may serve both)
                 pos += 1  # tsvector counts stopword positions
                 continue
         elif type(w) is bytes:
