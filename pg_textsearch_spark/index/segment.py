@@ -42,7 +42,7 @@ POSTINGS_COLUMNS = [
     "doc_ids_bin", "tfs_bin", "norms_bin",
     "skip_last_doc_id", "skip_doc_count", "skip_max_tf", "skip_min_norm",
     "skip_doc_off", "skip_tf_off",
-    "pos_counts_bin", "pos_deltas_bin",
+    "pos_counts_bin", "pos_deltas_bin", "skip_pos_off",
 ]
 
 
@@ -118,6 +118,7 @@ def pack_term(
             "skip_tf_off": tf_off.astype(np.int64).tolist(),
             "pos_counts_bin": None,
             "pos_deltas_bin": None,
+            "skip_pos_off": None,
         }
         if positions is not None:
             plists = positions[start:end]
@@ -133,6 +134,15 @@ def pack_term(
                 d[starts_] = cat[starts_]
                 row["pos_counts_bin"] = varbyte_encode(pcounts)
                 row["pos_deltas_bin"] = varbyte_encode(d.astype(np.uint64))
+                # per-block byte offsets into pos_deltas_bin (each posting's
+                # first delta is absolute, so any block boundary is a clean
+                # random-access point — mirrors skip_doc_off)
+                pd_nb = _varbyte_nbytes(d.astype(np.uint64))
+                pd_off = np.r_[np.int64(0), np.cumsum(pd_nb)]
+                flat_start = np.r_[np.int64(0),
+                                   np.cumsum(pcounts.astype(np.int64))]
+                row["skip_pos_off"] = \
+                    pd_off[flat_start[block_starts]].astype(np.int64).tolist()
         rows.append(row)
     return rows
 
@@ -270,6 +280,7 @@ def pack_postings_frame(
         "skip_tf_off": sk_toff,
         "pos_counts_bin": [None] * k,
         "pos_deltas_bin": [None] * k,
+        "skip_pos_off": [None] * k,
     }
 
     if pos is not None:
@@ -299,6 +310,14 @@ def pack_postings_frame(
         data["pos_deltas_bin"] = [
             bytes(mv_pd[pd_off[grp_flat_start[i]]:pd_off[grp_flat_end[i]]])
             for i in range(k)]
+        # per-block byte offsets into pos_deltas_bin, RELATIVE to the
+        # term's stream start (mirrors blk_doc_off; posting-leading deltas
+        # are absolute so block boundaries are random-access points)
+        blk_pos_off = (pd_off[p_start[b_start]]
+                       - pd_off[grp_flat_start[term_of_block]])
+        data["skip_pos_off"] = \
+            _obj_col(np.split(blk_pos_off.astype(np.int64),
+                              blk_bounds[1:-1]))
 
     frame = pd.DataFrame(data, columns=POSTINGS_COLUMNS)
     if out_extra:
@@ -319,6 +338,7 @@ _PACKED_DTYPES = {
     "skip_last_doc_id": object, "skip_doc_count": object,
     "skip_max_tf": object, "skip_min_norm": object, "skip_doc_off": object,
     "skip_tf_off": object, "pos_counts_bin": object, "pos_deltas_bin": object,
+    "skip_pos_off": object,
 }
 
 
@@ -380,6 +400,53 @@ def decode_row_blocks(row: dict | pd.Series, block_idx: np.ndarray,
         norms_l.append(nrm_all[post_start[a]:post_start[b + 1]].astype(np.int64))
     return (np.concatenate(ids_l), np.concatenate(tfs_l),
             np.concatenate(norms_l))
+
+
+def decode_positions_blocks(row: dict | pd.Series, block_idx: np.ndarray):
+    """Random-access decode of selected blocks' position lists.
+
+    ``block_idx``: sorted unique block indices. Returns (posting_idx,
+    positions): row-local posting offsets covered by those blocks and one
+    int64 array per covered posting. Uses the ``skip_pos_off`` per-block
+    byte offsets (round-4 format addition); legacy rows without them fall
+    back to a full :func:`decode_positions` pass."""
+    if row["pos_counts_bin"] is None:
+        return None, None
+    spo = row["skip_pos_off"] if "skip_pos_off" in row else None
+    block_idx = np.asarray(block_idx, dtype=np.int64)
+    n = int(row["doc_freq"])
+    counts = varbyte_decode(row["pos_counts_bin"], count=n).astype(np.int64)
+    cnt_blocks = np.asarray(row["skip_doc_count"], dtype=np.int64)
+    post_start = np.cumsum(np.r_[np.int64(0), cnt_blocks])
+    if spo is None or (hasattr(spo, "__len__") and len(spo) == 0):
+        full = decode_positions(row)
+        idx = np.concatenate([np.arange(post_start[int(b)],
+                                        post_start[int(b) + 1])
+                              for b in block_idx]) if block_idx.size else \
+            np.empty(0, dtype=np.int64)
+        return idx, [full[int(i)] for i in idx]
+    pos_off = np.asarray(spo, dtype=np.int64)
+    cut = np.flatnonzero(np.diff(block_idx) != 1) + 1
+    runs = np.split(block_idx, cut) if block_idx.size else []
+    idx_l: list[np.ndarray] = []
+    out: list[np.ndarray] = []
+    for run in runs:
+        a, b = int(run[0]), int(run[-1])
+        p0, p1 = int(post_start[a]), int(post_start[b + 1])
+        c = counts[p0:p1]
+        total = int(c.sum())
+        deltas = varbyte_decode(row["pos_deltas_bin"],
+                                offset=int(pos_off[a]),
+                                count=total).astype(np.int64)
+        ends = np.cumsum(c)
+        starts = ends - c
+        g = np.cumsum(deltas)
+        prefix = np.r_[np.int64(0), g[ends[:-1] - 1]]
+        vals = g - np.repeat(prefix, c)
+        out.extend(vals[s:e] for s, e in zip(starts, ends))
+        idx_l.append(np.arange(p0, p1, dtype=np.int64))
+    idx = np.concatenate(idx_l) if idx_l else np.empty(0, dtype=np.int64)
+    return idx, out
 
 
 def decode_positions(row: dict | pd.Series):

@@ -193,3 +193,57 @@ def test_vacuum_reclaims_orphan_dirs(spark, tmp_path):
     assert not os.path.exists(orphan)
     assert not os.path.exists(os.path.join(seg_root, "seg-000099.bucket.json"))
     assert _rows(idx.search("hello", k=5)) == before
+
+
+# --------------------------- phrase-mode candidate pruning (VERDICT r3 #5)
+
+def test_phrase_prunes_position_blocks(spark, tmp_path):
+    # many docs contain 'alpha' and 'beta' separately; only a handful have
+    # the adjacent phrase. The AND-intersection + selective sidecar decode
+    # must leave most position blocks untouched.
+    rows = []
+    for i in range(600):
+        if i % 150 == 0:
+            rows.append((i, "alpha beta adjacency target document"))
+        elif i % 2 == 0:
+            rows.append((i, "alpha solo words padding far apart " * 3))
+        else:
+            rows.append((i, "beta only document with padding " * 2))
+    docs = spark.createDataFrame(rows, "id long, content string")
+    opts = Bm25Options(text_config="simple", store_positions=True,
+                       block_size=16)
+    idx = Bm25Index.build(spark, docs, "content", str(tmp_path / "ph"),
+                          id_col="id", opts=opts, num_segments=2)
+    got, stats = idx.search_profiled("alpha beta", k=10, mode="phrase")
+    assert sorted(got["doc_id"].tolist()) == [0, 150, 300, 450]
+    assert stats["pos_blocks_total"] > 0
+    # docs with both terms are half the corpus, but candidates that survive
+    # the AND intersection cluster into few blocks per term
+    assert stats["pos_blocks_decoded"] < stats["pos_blocks_total"], stats
+
+
+def test_decode_positions_blocks_matches_full():
+    import numpy as np
+    from pg_textsearch_spark.index.segment import (
+        pack_term, decode_positions, decode_positions_blocks)
+    rng = np.random.default_rng(11)
+    n = 1000
+    ids = np.cumsum(rng.integers(1, 5, n)).astype(np.int64)
+    tfs = rng.integers(1, 9, n).astype(np.int64)
+    norms = rng.integers(0, 255, n).astype(np.int64)
+    positions = [np.cumsum(rng.integers(1, 30, int(t))).astype(np.int64)
+                 for t in tfs]
+    (row,) = pack_term("t", ids, tfs, norms, positions, block_size=64)
+    full = decode_positions(row)
+    for blocks in ([0], [3, 4, 5], [0, 7, 8, 15], [15],
+                   list(range(row["num_blocks"]))):
+        blocks = [b for b in blocks if b < row["num_blocks"]]
+        pidx, plists = decode_positions_blocks(row, np.asarray(blocks))
+        for pi, pl in zip(pidx, plists):
+            assert np.array_equal(pl, full[int(pi)]), (pi, blocks)
+    # legacy row (no skip_pos_off) falls back to the full decode
+    legacy = dict(row)
+    legacy.pop("skip_pos_off")
+    pidx, plists = decode_positions_blocks(legacy, np.asarray([2, 3]))
+    for pi, pl in zip(pidx, plists):
+        assert np.array_equal(pl, full[int(pi)])
