@@ -290,6 +290,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         Bm25Options(text_config="simple", spill_budget_bytes=16 * 1024)
         ).search(Q_MULTI, k=10)
 
+    # --- partitioned corpus, partition-local stats (reference
+    # README.md:544-566): one child index per partition value; a single-
+    # partition search scores accurately against THAT partition's
+    # total_docs/avgdl/dfs — the oracle below filters to the same rows ---
+    def _partitioned(s, d):
+        from pg_textsearch_spark.index.partitioned import PartitionedBm25Index
+        key = "partsrc:" + os.path.abspath(d)
+        pidx = _INDEX_CACHE.get(key)
+        if pidx is None:
+            tag = hashlib.md5(key.encode()).hexdigest()[:10]
+            path = os.path.join(tempfile.gettempdir(),
+                                f"pgts_entry_idx_{tag}")
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            pidx = PartitionedBm25Index.build(
+                s, _docs(s, d), "text", path, "source", id_col="doc_id",
+                opts=SIMPLE_OPTS, partitions=["src1", "src2"])
+            _INDEX_CACHE[key] = pidx
+        return pidx.search(Q_MULTI, k=10, partitions=["src2"]) \
+            .select("doc_id", "score")
+    q["bm25_partitioned"] = _partitioned
+
     # --- expression index (reference README.md:196-217: index over an
     # expression, e.g. title || ' ' || body) — the Spark-first analogue
     # indexes a derived column; searched and scored identically ---
@@ -467,6 +489,11 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
     # expression index: the oracle tokenizes the same derived expression
     o["bm25_expr_index"] = bm25_oracle.bm25_oracle_sql(
         Q_MULTI, k=10, text_col="concat_ws(' ', lang, text)")
+    # partitioned index, single-partition search: partition-local stats ==
+    # BM25 over ONLY that partition's rows (reference README.md:549-556)
+    o["bm25_partitioned"] = bm25_oracle.bm25_oracle_sql(
+        Q_MULTI, k=10,
+        table="(SELECT * FROM documents WHERE source = 'src2')")
 
     from pg_textsearch_spark.functions.vectorize import to_bm25vector_oracle_sql
     o["bm25_vectorize"] = to_bm25vector_oracle_sql(

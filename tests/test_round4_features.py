@@ -247,3 +247,56 @@ def test_decode_positions_blocks_matches_full():
     pidx, plists = decode_positions_blocks(legacy, np.asarray([2, 3]))
     for pi, pl in zip(pidx, plists):
         assert np.array_equal(pl, full[int(pi)])
+
+
+# ------------------- partitioned corpus, partition-local stats (VERDICT #8)
+
+def test_partitioned_index_partition_local_stats(spark, tmp_path):
+    from pg_textsearch_spark.index.partitioned import PartitionedBm25Index
+
+    # reference README.md:557-560: a big and a tiny partition put the same
+    # term on different IDF scales
+    rows = [(i, "alpha beta gamma common words here", "big")
+            for i in range(300)]
+    rows += [(1000 + i, "alpha rare partition doc", "tiny") for i in range(6)]
+    docs = spark.createDataFrame(rows, "id long, content string, part string")
+    opts = Bm25Options(text_config="simple")
+    pidx = PartitionedBm25Index.build(
+        spark, docs, "content", str(tmp_path / "p"), "part",
+        id_col="id", opts=opts, num_segments=2)
+
+    st = pidx.stats()
+    assert st["big"]["total_docs"] == 300 and st["tiny"]["total_docs"] == 6
+    assert st["big"]["avgdl"] != st["tiny"]["avgdl"]
+
+    # single-partition scores == exhaustive scorer over that partition only
+    got = _rows(pidx.search("alpha rare", k=5, partitions=["tiny"]))
+    want = _rows(score_exhaustive(
+        spark, docs.filter("part = 'tiny'"), "content", "id",
+        "alpha rare", opts, k=5))
+    assert got == want
+
+    # the SAME doc scores differently under a global single index — the
+    # semantics divergence the reference documents for cross-partition use
+    gidx = Bm25Index.build(spark, docs, "content", str(tmp_path / "g"),
+                           id_col="id", opts=opts, num_segments=2)
+    glob = dict(_rows(gidx.search("alpha rare", k="all")))
+    loc = dict(got)
+    overlap = set(loc) & set(glob)
+    assert overlap and any(abs(loc[d] - glob[d]) > 1e-6 for d in overlap)
+
+    # cross-partition search unions per-partition scales and keeps the
+    # partition column so the scales are attributable
+    both = pidx.search("alpha", k=4).collect()
+    assert {r["part"] for r in both} <= {"big", "tiny"}
+    assert len(both) == 4
+
+    # incremental refresh of one partition (the time-bucket pattern)
+    extra = spark.createDataFrame(
+        [(2000, "alpha freshly appended doc", "tiny")],
+        "id long, content string, part string")
+    pidx.build_partition(docs.filter("part = 'tiny'").union(extra),
+                         "content", "tiny", id_col="id", opts=opts,
+                         num_segments=1)
+    assert pidx.stats()["tiny"]["total_docs"] == 7
+    assert pidx.stats()["big"]["total_docs"] == 300
