@@ -41,6 +41,36 @@ def timed(fn, n=3):
     return round(min(runs), 4)
 
 
+def task_facts(spark, fn) -> dict:
+    """Run fn once inside a job group and report its Spark parallelism
+    shape: jobs, stages, total tasks, and the widest stage. Makes a p*
+    latency regression attributable from the JSON alone — a '1-task map
+    side' (single row-group input) reads single-core speed, not code."""
+    sc = spark.sparkContext
+    st = sc.statusTracker()
+    group = f"bench-facts-{time.time()}"
+    sc.setJobGroup(group, group)
+    try:
+        fn()
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = st.getJobIdsForGroup(group)
+    stage_ids = []
+    for j in jobs:
+        ji = st.getJobInfo(j)
+        if ji:
+            stage_ids.extend(ji.stageIds)
+    facts = {"jobs": len(jobs), "stages": len(stage_ids), "tasks": 0,
+             "max_stage_tasks": 0}
+    for s in stage_ids:
+        si = st.getStageInfo(s)
+        if si:
+            facts["tasks"] += si.numTasks
+            facts["max_stage_tasks"] = max(facts["max_stage_tasks"],
+                                           si.numTasks)
+    return facts
+
+
 def _row_groups(parquet_path: str) -> int:
     import glob
     import pyarrow.parquet as pq
@@ -201,6 +231,33 @@ def main() -> None:
     bidx.search("merge", k=10).collect()   # warm-up
     extra["bitpack_single_sec"] = timed(
         lambda: bidx.search("merge", k=10).collect())
+
+    # parallelism facts for the pipeline ops + the two scan-shaped queries
+    # (VERDICT r3 #10): one extra profiled run each, recording jobs /
+    # stages / tasks / widest stage
+    extra["parallelism"] = {
+        "p1_minhash_pairs": task_facts(
+            spark, lambda: dedup.minhash_candidate_pairs(docs).collect()),
+        "p2_fingerprints": task_facts(
+            spark, lambda: textstats.fingerprints(docs).collect()),
+        "p3_ann_cosine": task_facts(
+            spark, lambda: similarity.cosine_topk(
+                embs, [0, 1, 2, 3, 4], k=5).collect()),
+        "p4_quality": task_facts(
+            spark, lambda: textstats.quality_scores(docs).collect()),
+        "p5_simhash_pairs": task_facts(
+            spark, lambda: dedup.simhash_pairs(
+                docs, max_hamming=3).collect()),
+        "p6_embed_blocked": task_facts(
+            spark, lambda: dedup.embedding_dup_pairs_blocked(
+                embs, threshold=0.9).collect()),
+        "q7_exhaustive_all": task_facts(
+            spark, lambda: score_exhaustive(
+                spark, docs, "text", "doc_id", "window customer",
+                Bm25Options(text_config="simple"), k=None).collect()),
+        "q9_batch30": task_facts(
+            spark, lambda: search_batch(idx, batch_qs, k=10).count()),
+    }
 
     control_post = hw_control()
 

@@ -1,0 +1,243 @@
+"""Mega-corpus build proof: 2M-doc english-config build + kill/resume.
+
+Round-3 VERDICT #7: the spill packer, parquet manifest sidecar and
+core-aware segmenting all target scale — exercise them together once at
+sf >= 1 equivalent (2M docs, multi-row-group parquet input) and prove:
+
+1. throughput: docs/s, tokens/s, index B/token at 2M docs on local[32];
+2. pack-stage balance: per-segment (one task per segment) doc/byte
+   histogram — the collision-free bucketing must keep skew bounded;
+3. crash safety at scale: SIGKILL the build mid-pack in a subprocess,
+   resume with ``resume=True``, and require the resumed index to return
+   byte-identical top-k to an uninterrupted build.
+
+Writes a "## Mega-build" section into SCALE.md and prints one JSON line.
+
+Usage:
+  python tools/mega_build.py [n_docs]          # full proof (default 2M)
+  python tools/mega_build.py --child <path>    # (internal) killable build
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import signal
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CORPUS = "/tmp/pgts_mega_corpus"
+IDX_CLEAN = "/tmp/pgts_mega_idx"
+IDX_RESUME = "/tmp/pgts_mega_idx_resumed"
+
+
+def ensure_corpus(spark, n_docs: int) -> None:
+    done = os.path.join(CORPUS, f"_DONE_{n_docs}")
+    if os.path.exists(done):
+        return
+    from tools.validate_rank_identity import gen_corpus
+    if os.path.exists(CORPUS):
+        shutil.rmtree(CORPUS)
+    # 64 output files -> the parquet input has real multi-task parallelism
+    gen_corpus(spark, n_docs).repartition(64) \
+        .write.mode("overwrite").parquet(CORPUS)
+    open(done, "w").close()
+
+
+def build_clean(spark, opts, cpus: int) -> dict:
+    from pg_textsearch_spark.index.build import Bm25Index
+    docs = spark.read.parquet(CORPUS)
+    if os.path.exists(IDX_CLEAN):
+        if os.environ.get("MEGA_REUSE_CLEAN") and \
+                os.path.exists(os.path.join(IDX_CLEAN, "_BUILD_WALL")):
+            idx = Bm25Index(spark, IDX_CLEAN)
+            with open(os.path.join(IDX_CLEAN, "_BUILD_WALL")) as f:
+                wall = float(f.read())
+            return _clean_stats(idx, wall, cpus)
+        shutil.rmtree(IDX_CLEAN)
+    t0 = time.time()
+    idx = Bm25Index.build(spark, docs, "text", IDX_CLEAN, id_col="doc_id",
+                          opts=opts)
+    wall = time.time() - t0
+    with open(os.path.join(IDX_CLEAN, "_BUILD_WALL"), "w") as f:
+        f.write(str(wall))
+    return _clean_stats(idx, wall, cpus)
+
+
+def _clean_stats(idx, wall: float, cpus: int) -> dict:
+    man = idx.manifest
+    total_tokens = man.total_len
+    idx_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _d, fs in os.walk(os.path.join(IDX_CLEAN, "segments"))
+        for f in fs if f.endswith(".parquet"))
+    seg_docs = sorted(s.num_docs for s in man.segments)
+    seg_bytes = sorted(s.bytes for s in man.segments)
+
+    def pct(a, p):
+        return a[min(len(a) - 1, int(p * (len(a) - 1)))]
+
+    return {
+        "n_docs": man.total_docs,
+        "wall_s": round(wall, 1),
+        "docs_per_s": round(man.total_docs / wall),
+        "tokens_per_s": round(total_tokens / wall),
+        "total_tokens": int(total_tokens),
+        "bytes_per_token": round(idx_bytes / max(total_tokens, 1), 3),
+        "index_bytes": int(idx_bytes),
+        "segments": len(man.segments),
+        "cpus": cpus,
+        "seg_docs_min_p50_max": [seg_docs[0], pct(seg_docs, 0.5),
+                                 seg_docs[-1]],
+        "seg_bytes_min_p50_max": [seg_bytes[0], pct(seg_bytes, 0.5),
+                                  seg_bytes[-1]],
+    }
+
+
+def child_build(path: str) -> None:
+    """Run inside the kill target subprocess: build until killed."""
+    from pg_textsearch_spark.spark_utils import get_spark
+    from pg_textsearch_spark.config import Bm25Options
+    from pg_textsearch_spark.index.build import Bm25Index
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("mega-child", cpus=cpus, shuffle_partitions=cpus)
+    docs = spark.read.parquet(CORPUS)
+    Bm25Index.build(spark, docs, "text", path, id_col="doc_id",
+                    opts=Bm25Options(text_config="english"),
+                    resume=os.path.exists(path))
+    print("CHILD_DONE", flush=True)
+
+
+def kill_resume_proof(spark, opts, kill_segments: int = 8,
+                      timeout: float = 900.0) -> dict:
+    """SIGKILL the child the moment ``kill_segments`` segment dirs exist —
+    i.e. mid-pack, with some segments committed and some not. That is the
+    resume case that matters: finished segments must be skipped, the rest
+    rebuilt, and the result byte-identical."""
+    from pg_textsearch_spark.index.build import Bm25Index
+    from pg_textsearch_spark.index.manifest import Manifest
+    if os.path.exists(IDX_RESUME):
+        shutil.rmtree(IDX_RESUME)
+    env = dict(os.environ)
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--child", IDX_RESUME],
+        cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        start_new_session=True)
+    seg_root = os.path.join(IDX_RESUME, "segments")
+    t0 = time.time()
+    killed = False
+    while time.time() - t0 < timeout:
+        if proc.poll() is not None:
+            break
+        n = len([d for d in os.listdir(seg_root)
+                 if not d.endswith(".json")]) \
+            if os.path.exists(seg_root) else 0
+        if n >= kill_segments:
+            killed = True
+            os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+            break
+        time.sleep(0.2)
+    if not killed:
+        os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+        proc.wait()
+        raise RuntimeError(
+            "child finished (or timed out) before reaching "
+            f"{kill_segments} committed segments — lower kill_segments")
+    proc.wait()
+    kill_at_s = round(time.time() - t0, 1)
+    partial_segments = 0
+    if Manifest.exists(IDX_RESUME):
+        partial_segments = len(Manifest.load(IDX_RESUME).segments)
+    n_marker_dirs = sum(
+        1 for d in os.listdir(os.path.join(IDX_RESUME, "segments"))
+        if not d.endswith(".json")) if os.path.exists(
+            os.path.join(IDX_RESUME, "segments")) else 0
+
+    # resume in-process with the SAME arguments
+    docs = spark.read.parquet(CORPUS)
+    t0 = time.time()
+    idx2 = Bm25Index.build(spark, docs, "text", IDX_RESUME, id_col="doc_id",
+                           opts=opts, resume=True)
+    t_resume = time.time() - t0
+
+    # byte-identical results vs the uninterrupted build
+    idx1 = Bm25Index(spark, IDX_CLEAN)
+    queries = ["search index", "merge segments fast", "data point cluster",
+               "machine learn model", "importantly trending"]
+    mismatch = []
+    for q in queries:
+        a = [(r["doc_id"], r["score"]) for r in idx1.search(q, k=10).collect()]
+        b = [(r["doc_id"], r["score"]) for r in idx2.search(q, k=10).collect()]
+        if a != b:
+            mismatch.append(q)
+    return {
+        "killed_mid_build": True,
+        "kill_at_s": kill_at_s,
+        "partial_segment_dirs_at_kill": n_marker_dirs,
+        "partial_manifest_segments": partial_segments,
+        "resume_wall_s": round(t_resume, 1),
+        "resumed_matches_clean": not mismatch,
+        "mismatched_queries": mismatch,
+        "resumed_total_docs": idx2.manifest.total_docs,
+    }
+
+
+def main() -> int:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--child":
+        child_build(sys.argv[2])
+        return 0
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    from pg_textsearch_spark.spark_utils import get_spark
+    from pg_textsearch_spark.config import Bm25Options
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("mega-build", cpus=cpus, shuffle_partitions=cpus)
+    opts = Bm25Options(text_config="english")
+
+    print(f"== corpus: {n_docs} docs", flush=True)
+    ensure_corpus(spark, n_docs)
+    print("== clean build", flush=True)
+    stats = build_clean(spark, opts, cpus)
+    print(json.dumps(stats), flush=True)
+    print("== kill/resume proof", flush=True)
+    kr = kill_resume_proof(spark, opts)
+    print(json.dumps(kr), flush=True)
+
+    ok = kr["resumed_matches_clean"] and \
+        kr["resumed_total_docs"] == stats["n_docs"]
+    section = f"""
+## Mega-build proof (round 4) — {stats['n_docs']:,} docs, english config
+
+`tools/mega_build.py` on local[{cpus}] over a 64-file parquet corpus
+(deterministic natural-English generator from `tools/validate_rank_identity.py`):
+
+- build wall {stats['wall_s']} s -> **{stats['docs_per_s']:,} docs/s,
+  {stats['tokens_per_s'] / 1e6:.2f} M tokens/s** ({stats['total_tokens']:,}
+  tokens), index {stats['index_bytes'] / 1e6:.0f} MB =
+  **{stats['bytes_per_token']} B/token** (varbyte).
+- pack balance ({stats['segments']} segments, one task each):
+  docs/segment min/p50/max = {stats['seg_docs_min_p50_max']},
+  bytes/segment min/p50/max = {stats['seg_bytes_min_p50_max']} — the
+  collision-free doc-id bucketing keeps the max/median ratio at
+  {stats['seg_docs_min_p50_max'][2] / max(1, stats['seg_docs_min_p50_max'][1]):.2f}.
+- crash safety: a subprocess build SIGKILLed mid-PACK at
+  {kr['kill_at_s']} s — {kr['partial_segment_dirs_at_kill']} segment
+  dirs on disk, {kr['partial_manifest_segments']} committed manifest
+  records at kill — then `build(..., resume=True)` completed in
+  {kr['resume_wall_s']} s (vs {stats['wall_s']} s clean: finished
+  segments skipped) and returned **byte-identical top-10** to the
+  uninterrupted build on 5 probe queries
+  (resumed_matches_clean={kr['resumed_matches_clean']}).
+"""
+    with open(os.path.join(REPO, "SCALE.md"), "a") as f:
+        f.write(section)
+    print("SCALE.md updated;", "ALL GREEN" if ok else "FAILURES")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
