@@ -48,6 +48,9 @@ INTL_QUERIES = {"french": "merges windows",
                 "german": "merges windows",
                 "spanish": "merges windows"}
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+# IVF tombstone set — disjoint from ANN_QUERY_IDS (a deleted query vector
+# would vanish from the engine's query side but not the oracle's)
+IVF_DELETED_IDS = [5, 9, 12, 42]
 EMB_DIM = 64
 
 _INDEX_CACHE: dict[str, Bm25Index] = {}
@@ -418,6 +421,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return art.search_ids(ANN_QUERY_IDS, k=5, nprobe=2)
     q["ann_ivf_appended_topk"] = _ivf_appended
 
+    # IVF lifecycle: delete (tombstones, no retrain) then vacuum (rewrite
+    # ONLY the hit buckets) — results must equal an oracle that trains on
+    # the full set but excludes the deleted candidates
+    def _ivf_deleted(s, d):
+        key = "ivfdel:" + os.path.abspath(d)
+        art = _INDEX_CACHE.get(key)
+        if art is None:
+            tag = hashlib.md5(key.encode()).hexdigest()[:10]
+            path = os.path.join(tempfile.gettempdir(), f"pgts_ivf_{tag}")
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            art = similarity.IvfIndex.build(s, _embs(s, d), path,
+                                            n_centroids=16, n_iters=2)
+            art.delete(IVF_DELETED_IDS)
+            art.vacuum()
+            _INDEX_CACHE[key] = art
+        return art.search_ids(ANN_QUERY_IDS, k=5, nprobe=2)
+    q["ann_ivf_deleted_topk"] = _ivf_deleted
+
     # --- multimodal plumbing ---
     q["multimodal_features"] = lambda s, d: multimodal.extract_features(
         multimodal.to_blob_table(_docs(s, d)))
@@ -542,6 +564,9 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
     o["ann_ivf_appended_topk"] = similarity.ivf_topk_oracle_sql(
         ANN_QUERY_IDS, k=5, dim=EMB_DIM, n_iters=2,
         train_where="vec_id % 2 = 0")
+    o["ann_ivf_deleted_topk"] = similarity.ivf_topk_oracle_sql(
+        ANN_QUERY_IDS, k=5, dim=EMB_DIM, n_iters=2,
+        exclude_ids=IVF_DELETED_IDS)
 
     o["multimodal_features"] = multimodal.extract_features_oracle_sql()
     o["multimodal_sniff"] = multimodal.sniff_mime_oracle_sql()

@@ -207,11 +207,18 @@ def ivf_topk_oracle_sql(query_ids: list[int], k: int = 5,
                         table: str = "embeddings",
                         vec_col: str = "embedding",
                         id_col: str = "vec_id",
-                        train_where: str = "") -> str:
+                        train_where: str = "",
+                        exclude_ids: list[int] | None = None) -> str:
     """``train_where`` (e.g. ``"vec_id < 250"``): train centroids on that
     subset only — the oracle twin of IvfIndex.build + append (assignment
-    and search still cover the FULL table)."""
+    and search still cover the FULL table). ``exclude_ids``: candidates
+    removed from results but still present at training/assignment time —
+    the oracle twin of IvfIndex.delete (tombstones, no retrain)."""
     ids = ", ".join(str(i) for i in query_ids)
+    excl = ""
+    if exclude_ids:
+        excl = ("    AND a.vec_id NOT IN ("
+                + ", ".join(str(i) for i in exclude_ids) + ")\n")
     train_cte = ""
     train_table = "base"
     if train_where:
@@ -249,7 +256,7 @@ cand AS (
          {DOT_SQL.format(dim=dim, a='p.qv', b='a.v')} / (p.qn * a.nrm) AS cos
   FROM probes p JOIN assigned a ON a.cent_id = p.cent_id
   WHERE a.vec_id NOT IN ({ids})
-),
+{excl}),
 ranked AS (
   SELECT query_id, vec_id, cos,
          ROW_NUMBER() OVER (PARTITION BY query_id
@@ -335,13 +342,103 @@ class IvfIndex:
          .parquet(_os.path.join(self.path, "buckets")))
         return n
 
+    # ------------------------------------------------ delete / vacuum
+
+    def _tombstones_path(self) -> str:
+        import os as _os
+        return _os.path.join(self.path, "tombstones.json")
+
+    def tombstones(self) -> list[int]:
+        import json as _json
+        import os as _os
+        p = self._tombstones_path()
+        if not _os.path.exists(p):
+            return []
+        with open(p) as f:
+            return _json.load(f)
+
+    def delete(self, vec_ids: list[int]) -> int:
+        """Tombstone vectors (Bm25Index.delete analogue): ids land in a
+        driver-side sidecar and every search filters them out; the bucket
+        files are untouched until :meth:`vacuum`. Returns the new tombstone
+        count. Scale shape: the tombstone list stays k-sized (ids the user
+        explicitly deleted), shipped as an isin filter — for crawl-scale
+        deletes, vacuum instead."""
+        import json as _json
+        import os as _os
+        dead = sorted(set(self.tombstones()) | {int(i) for i in vec_ids})
+        tmp = self._tombstones_path() + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(dead, f)
+        _os.replace(tmp, self._tombstones_path())
+        return len(dead)
+
+    def vacuum(self) -> int:
+        """Rewrite ONLY the buckets containing tombstoned vectors, dropping
+        dead rows, then clear the tombstone list. Untouched buckets'
+        parquet files are left as-is (partition-directory granularity —
+        the IVF analogue of segment-level reclamation)."""
+        import os as _os
+        import shutil as _shutil
+        dead = self.tombstones()
+        if not dead:
+            return 0
+        root = _os.path.join(self.path, "buckets")
+        buckets = self.spark.read.parquet(root)
+        hit = [int(r["cent_id"]) for r in
+               buckets.filter(F.col("vec_id").isin(dead))
+               .select("cent_id").distinct().collect()]
+        for cid in hit:
+            part = _os.path.join(root, f"cent_id={cid}")
+            alive = (self.spark.read.parquet(part)
+                     .filter(~F.col("vec_id").isin(dead)))
+            tmp = part + ".vacuum"
+            if _os.path.exists(tmp):
+                _shutil.rmtree(tmp)
+            alive.coalesce(1).write.mode("overwrite").parquet(tmp)
+            _shutil.rmtree(part)
+            _os.rename(tmp, part)
+        _os.remove(self._tombstones_path())
+        return len(hit)
+
+    def retrain(self, n_centroids: int | None = None,
+                n_iters: int | None = None) -> "IvfIndex":
+        """Re-run Lloyd on the current ALIVE vectors and rebuild the bucket
+        layout in place (tmp + swap) — the recall-restoring step after many
+        appends drifted the distribution away from the training set."""
+        import os as _os
+        import shutil as _shutil
+        nc = n_centroids or self.meta["n_centroids"]
+        ni = n_iters or self.meta["n_iters"]
+        alive = self._alive_buckets().select("vec_id", "v", "nrm")
+        tmp = self.path + f".retrain-{_os.getpid()}"
+        if _os.path.exists(tmp):
+            _shutil.rmtree(tmp)
+        IvfIndex.build(self.spark, alive.withColumnRenamed("v", "embedding"),
+                       tmp, n_centroids=nc, n_iters=ni)
+        final_old = self.path + ".old"
+        if _os.path.exists(final_old):
+            _shutil.rmtree(final_old)
+        _os.rename(self.path, final_old)
+        _os.rename(tmp, self.path)
+        _shutil.rmtree(final_old)
+        return IvfIndex(self.spark, self.path)
+
+    def _alive_buckets(self) -> DataFrame:
+        import os as _os
+        buckets = self.spark.read.parquet(_os.path.join(self.path, "buckets"))
+        dead = self.tombstones()
+        if dead:
+            buckets = buckets.filter(~F.col("vec_id").isin(dead))
+        return buckets
+
     def search_ids(self, query_ids: list[int], k: int = 5,
                    nprobe: int = 2) -> DataFrame:
         """Top-k neighbors for query vectors drawn from the index by id
         (query ids excluded from results — same contract/tie-breaks as
-        ``ivf_topk``, so the same oracle SQL applies)."""
-        import os as _os
-        buckets = self.spark.read.parquet(_os.path.join(self.path, "buckets"))
+        ``ivf_topk``, so the same oracle SQL applies; tombstoned vectors
+        never match)."""
+        buckets = self._alive_buckets()
         queries = (buckets.filter(F.col("vec_id").isin(query_ids))
                    .select(F.col("vec_id").alias("query_id"),
                            F.col("v").alias("qv"), F.col("nrm").alias("qn")))

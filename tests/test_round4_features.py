@@ -300,3 +300,79 @@ def test_partitioned_index_partition_local_stats(spark, tmp_path):
                          num_segments=1)
     assert pidx.stats()["tiny"]["total_docs"] == 7
     assert pidx.stats()["big"]["total_docs"] == 300
+
+
+# --------------------------- IVF lifecycle: delete / vacuum / retrain
+
+def test_ivf_delete_vacuum_retrain(spark, tmp_path):
+    import os
+    import random
+    from pyspark.sql import functions as F
+    from pg_textsearch_spark.operators.similarity import IvfIndex, cosine_topk
+
+    rng = random.Random(17)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(400)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf")
+    idx = IvfIndex.build(spark, embs, path, n_centroids=8, n_iters=2)
+
+    before = idx.search_ids([0, 1], k=5, nprobe=8).collect()
+    victim = before[0]["vec_id"]
+    idx.delete([victim, 399])
+    after = idx.search_ids([0, 1], k=5, nprobe=8).collect()
+    got_ids = {r["vec_id"] for r in after}
+    assert victim not in got_ids and 399 not in got_ids
+    # nprobe=all ==> exact: must equal brute force over the alive set
+    alive = embs.filter(~F.col("vec_id").isin([victim, 399]))
+    want = cosine_topk(alive, [0, 1], k=5).collect()
+    assert [(r["query_id"], r["vec_id"], r["cos"]) for r in after] == \
+        [(r["query_id"], r["vec_id"], r["cos"]) for r in want]
+
+    # vacuum rewrites ONLY buckets containing the dead ids, clears markers
+    root = os.path.join(path, "buckets")
+    mtimes = {d: os.path.getmtime(os.path.join(root, d))
+              for d in os.listdir(root) if d.startswith("cent_id=")}
+    n_hit = idx.vacuum()
+    assert 1 <= n_hit <= 2
+    assert idx.tombstones() == []
+    changed = [d for d in mtimes
+               if os.path.getmtime(os.path.join(root, d)) != mtimes[d]]
+    assert len(changed) == n_hit, (changed, n_hit)
+    after_vac = idx.search_ids([0, 1], k=5, nprobe=8).collect()
+    assert [(r["query_id"], r["vec_id"], r["cos"]) for r in after_vac] == \
+        [(r["query_id"], r["vec_id"], r["cos"]) for r in want]
+
+    # retrain rebuilds in place on the alive set; exact search unchanged
+    idx2 = idx.retrain(n_centroids=8, n_iters=3)
+    after_rt = idx2.search_ids([0, 1], k=5, nprobe=8).collect()
+    assert [(r["query_id"], r["vec_id"], r["cos"]) for r in after_rt] == \
+        [(r["query_id"], r["vec_id"], r["cos"]) for r in want]
+    assert idx2.meta["n_iters"] == 3
+
+
+def test_ivf_recall_floor(spark, tmp_path):
+    """ANN quality evidence: recall@10 of the probed search vs brute force
+    on a 1000-vector corpus — nprobe=2/16 centroids must clear 0.6, and
+    recall must be monotone in nprobe (the IVF contract)."""
+    import random
+    from pg_textsearch_spark.operators.similarity import IvfIndex, cosine_topk
+
+    rng = random.Random(23)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(24)]) for i in range(1000)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = IvfIndex.build(spark, embs, str(tmp_path / "r"), n_centroids=16,
+                         n_iters=3)
+    qids = list(range(10))
+    truth = {}
+    for r in cosine_topk(embs, qids, k=10).collect():
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = {}
+    for nprobe in (2, 4, 16):
+        got = {}
+        for r in idx.search_ids(qids, k=10, nprobe=nprobe).collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        recalls[nprobe] = sum(
+            len(got.get(q, set()) & truth[q]) for q in qids) / (10 * len(qids))
+    assert recalls[2] >= 0.6, recalls
+    assert recalls[2] <= recalls[4] + 1e-9 <= recalls[16] + 2e-9, recalls
+    assert recalls[16] == 1.0, recalls   # all buckets probed == exact
