@@ -440,6 +440,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return art.search_ids(ANN_QUERY_IDS, k=5, nprobe=2)
     q["ann_ivf_deleted_topk"] = _ivf_deleted
 
+    # --- event-time windows / sessionization (streaming/windows.py;
+    # the SAME functions run as Structured Streaming queries — parity
+    # pinned by tests/test_streaming_windows.py). Boundaries emitted as
+    # epoch-microsecond longs: exact across engines, timezone-immune. ---
+    from pg_textsearch_spark.streaming import windows as ev
+
+    def _events_tbl(s, d):
+        return s.read.parquet(os.path.join(d, "events.parquet"))
+
+    def _windowed(s, d):
+        out = ev.windowed_event_counts(_events_tbl(s, d), window="1 hour")
+        return out.select(
+            ev.epoch_us(out, "window_start").alias("window_start_us"),
+            ev.epoch_us(out, "window_end").alias("window_end_us"),
+            "event_type", "n_events", "total_value", "avg_value")
+    q["events_windowed_counts"] = _windowed
+
+    def _sessionized(s, d):
+        out = ev.sessionize(_events_tbl(s, d), gap="30 minutes")
+        return out.select(
+            "user_id",
+            ev.epoch_us(out, "session_start").alias("session_start_us"),
+            ev.epoch_us(out, "session_end_ts").alias("session_end_us"),
+            "n_events", "total_value")
+    q["events_sessionized"] = _sessionized
+
     # --- multimodal plumbing ---
     q["multimodal_features"] = lambda s, d: multimodal.extract_features(
         multimodal.to_blob_table(_docs(s, d)))
@@ -567,6 +593,11 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
     o["ann_ivf_deleted_topk"] = similarity.ivf_topk_oracle_sql(
         ANN_QUERY_IDS, k=5, dim=EMB_DIM, n_iters=2,
         exclude_ids=IVF_DELETED_IDS)
+
+    from pg_textsearch_spark.streaming import windows as ev
+    o["events_windowed_counts"] = ev.windowed_event_counts_oracle_sql(
+        window_sec=3600)
+    o["events_sessionized"] = ev.sessionize_oracle_sql(gap_sec=1800)
 
     o["multimodal_features"] = multimodal.extract_features_oracle_sql()
     o["multimodal_sniff"] = multimodal.sniff_mime_oracle_sql()
