@@ -47,6 +47,8 @@ STAT_TERMS = ["hash", "join", "merge", "window", "zebra"]
 INTL_QUERIES = {"french": "merges windows",
                 "german": "merges windows",
                 "spanish": "merges windows"}
+PERC_QUERIES = ["merge", "hash join", "window customer merge"]
+PERC_THRESHOLD = 1.0
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 # IVF tombstone set — disjoint from ANN_QUERY_IDS (a deleted query vector
 # would vanish from the engine's query side but not the oracle's)
@@ -440,6 +442,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return art.search_ids(ANN_QUERY_IDS, k=5, nprobe=2)
     q["ann_ivf_deleted_topk"] = _ivf_deleted
 
+    # --- standing-query percolation (streaming/percolate.py): K queries
+    # frozen once, every document scored against all of them in one
+    # stateless zero-shuffle pass — the streaming routing/alerting shape.
+    # Stats frozen from the same table the oracle scores, so the DuckDB
+    # twin is the per-query exhaustive oracle filtered to the threshold.
+    from pg_textsearch_spark.streaming.percolate import Percolator
+
+    def _percolate(mode, thr):
+        def run(s, d):
+            key = "perc:" + os.path.abspath(d)
+            perc = _INDEX_CACHE.get(key)
+            if perc is None:
+                perc = Percolator.from_corpus(
+                    s, _docs(s, d), PERC_QUERIES,
+                    opts=Bm25Options(text_config="simple"))
+                _INDEX_CACHE[key] = perc
+            return perc.matches(_docs(s, d), min_score=thr, mode=mode)
+        return run
+    q["bm25_percolate"] = _percolate("or", PERC_THRESHOLD)
+    # and-mode, unthresholded: EVERY conjunctive match routes (a strictly
+    # different row set from the thresholded or-row)
+    q["bm25_percolate_and"] = _percolate("and", 0.0)
+
     # --- event-time windows / sessionization (streaming/windows.py;
     # the SAME functions run as Structured Streaming queries — parity
     # pinned by tests/test_streaming_windows.py). Boundaries emitted as
@@ -593,6 +618,12 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
     o["ann_ivf_deleted_topk"] = similarity.ivf_topk_oracle_sql(
         ANN_QUERY_IDS, k=5, dim=EMB_DIM, n_iters=2,
         exclude_ids=IVF_DELETED_IDS)
+
+    from pg_textsearch_spark.streaming.percolate import percolate_oracle_sql
+    o["bm25_percolate"] = percolate_oracle_sql(
+        PERC_QUERIES, threshold=PERC_THRESHOLD)
+    o["bm25_percolate_and"] = percolate_oracle_sql(
+        PERC_QUERIES, threshold=0.0, mode="and")
 
     from pg_textsearch_spark.streaming import windows as ev
     o["events_windowed_counts"] = ev.windowed_event_counts_oracle_sql(

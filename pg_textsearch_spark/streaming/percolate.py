@@ -1,0 +1,186 @@
+"""Standing-query percolation — route documents to registered queries.
+
+The inverse of search: K queries are registered ONCE with frozen corpus
+statistics (idf / avgdl from an existing :class:`Bm25Index` or a
+reference corpus), then every incoming document — a batch DataFrame or a
+Structured Streaming micro-batch — is BM25-scored against ALL standing
+queries in a single pass. This is the alerting/routing shape a crawl
+pipeline needs ("send every page matching my topic queries to bucket X"),
+the streaming analogue of the reference's standalone ``text <@>
+bm25query`` projection (reference: src/types/query.c:665-1118) with the
+document side streaming instead of the query side.
+
+Scale shape (100 TB): ZERO shuffles and ZERO state. One Arrow tokenizer
+pass (``doc_term_arrays``, one row per doc), a broadcast nested-loop join
+against the K-row standing-query table, and a whole-stage-codegen'd
+``F.aggregate`` over each query's terms with ``element_at`` map lookups.
+Every operator is narrow, so the plan is embarrassingly parallel across
+input splits, and the STREAMING form needs no watermark: append-mode safe
+on any source because nothing aggregates across documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import Bm25Options
+from ..functions.tokenizer import tokenize_query
+from ..operators.exhaustive import idf_value
+from ..spark_utils import doc_postings, doc_term_arrays, quantize_len_col
+
+__all__ = ["Percolator", "percolate_oracle_sql"]
+
+
+class Percolator:
+    """K standing BM25 queries with frozen corpus statistics.
+
+    ``queries``: list of query strings (query_id = position) .
+    ``stats``: dict with ``n_docs``, ``avgdl`` and ``df`` (term -> doc
+    freq for every standing-query term). Use :meth:`from_index` to freeze
+    stats from a built index (the production shape: corpus indexed, new
+    docs routed) or :meth:`from_corpus` to compute them from a DataFrame.
+    """
+
+    def __init__(self, spark: SparkSession, queries: list[str],
+                 stats: dict, opts: Bm25Options | None = None):
+        self.spark = spark
+        self.opts = opts or Bm25Options()
+        self.queries = list(queries)
+        self.n_docs = int(stats["n_docs"])
+        self.avgdl = float(stats["avgdl"]) or 1.0
+        df_by_term = stats["df"]
+        rows = []
+        for qid, q in enumerate(self.queries):
+            qterms = tokenize_query(q, self.opts.text_config)
+            rows.append((
+                qid,
+                [(t, float(qf),
+                  idf_value(self.n_docs, int(df_by_term.get(t, 0))))
+                 for t, qf in qterms],
+                len({t for t, _ in qterms}),
+            ))
+        self._qdf = spark.createDataFrame(
+            rows, "query_id long, "
+                  "qterms array<struct<term:string,qfreq:double,idf:double>>, "
+                  "n_distinct int")
+
+    # -- constructors --------------------------------------------------
+
+    @classmethod
+    def from_index(cls, index, queries: list[str]) -> "Percolator":
+        """Freeze stats from a built :class:`Bm25Index` (its manifest
+        already holds n_docs/avgdl; dfs come from the dictionary scan the
+        same way a search attaches them)."""
+        m = index.manifest
+        terms = sorted({t for q in queries
+                        for t, _ in tokenize_query(q, m.opts.text_config)})
+        df = {r["term"]: int(r["doc_freq"])
+              for r in index.term_stats(terms).collect()}
+        return cls(index.spark, queries,
+                   {"n_docs": m.total_docs, "avgdl": m.avgdl, "df": df},
+                   opts=m.opts)
+
+    @classmethod
+    def from_corpus(cls, spark: SparkSession, docs: DataFrame,
+                    queries: list[str], text_col: str = "text",
+                    id_col: str = "doc_id",
+                    opts: Bm25Options | None = None) -> "Percolator":
+        """Compute frozen stats from a reference corpus with the same
+        convention as ``score_exhaustive`` (raw avgdl by default,
+        ``opts.avgdl_mode='quantized'`` honored)."""
+        opts = opts or Bm25Options()
+        terms = sorted({t for q in queries
+                        for t, _ in tokenize_query(q, opts.text_config)})
+        postings = doc_postings(docs, text_col, id_col, opts)
+        postings.persist()
+        try:
+            row = postings.agg(
+                F.countDistinct("doc_id").alias("n"),
+                F.sum("tf").alias("tl")).collect()[0]
+            n_docs = int(row["n"] or 0)
+            if opts.avgdl_mode == "quantized":
+                dls = postings.groupBy("doc_id").agg(
+                    F.first("doc_len").alias("dl"))
+                qrow = dls.agg(F.sum(
+                    quantize_len_col(F.col("dl"))).alias("ql")).collect()[0]
+                avgdl = int(qrow["ql"] or 0) / max(n_docs, 1)
+            else:
+                avgdl = int(row["tl"] or 0) / max(n_docs, 1)
+            df = {r["term"]: int(r["df"]) for r in
+                  postings.filter(F.col("term").isin(terms))
+                  .groupBy("term")
+                  .agg(F.countDistinct("doc_id").alias("df")).collect()}
+        finally:
+            postings.unpersist(False)
+        return cls(spark, queries,
+                   {"n_docs": n_docs, "avgdl": avgdl, "df": df}, opts=opts)
+
+    # -- matching ------------------------------------------------------
+
+    def matches(self, docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", min_score: float = 0.0,
+                mode: str = "or", round_to: int = 4) -> DataFrame:
+        """(query_id, doc_id, score) for every (standing query, document)
+        pair the document matches, with rounded ``score >= min_score``.
+
+        mode 'or': any standing-query term present; 'and': all of them.
+        Works identically on a batch DataFrame and a streaming one (the
+        plan is stateless — append output mode, no watermark required).
+        Batch results are ordered (query_id, score DESC, doc_id).
+        """
+        if mode not in ("or", "and"):
+            raise ValueError("percolate supports modes 'or' and 'and'")
+        k1, b = float(self.opts.k1), float(self.opts.b)
+        arrays = doc_term_arrays(docs, text_col, id_col, self.opts)
+        pairs = (arrays
+                 .withColumn("tfmap", F.map_from_arrays("terms", "tfs"))
+                 .withColumn("qdl", quantize_len_col(F.col("doc_len"))
+                             .cast("double"))
+                 .join(F.broadcast(self._qdf)))
+        matched = F.filter(
+            F.col("qterms"), lambda q: F.map_contains_key(
+                F.col("tfmap"), q["term"]))
+        need = (F.lit(1) if mode == "or" else F.col("n_distinct")
+                .cast("int"))
+        # distinct matched terms == matched size (qterms dedups per term?
+        # no — repeated query words share one term entry only in tf map;
+        # tokenize_query emits (term, qfreq) with DISTINCT terms), so
+        # size(matched) is the distinct-match count.
+        score = F.aggregate(
+            matched, F.lit(0.0),
+            lambda acc, q: acc + q["qfreq"] * q["idf"]
+            * (F.element_at(F.col("tfmap"), q["term"]).cast("double")
+               * F.lit(k1 + 1.0))
+            / (F.element_at(F.col("tfmap"), q["term"]).cast("double")
+               + F.lit(k1) * (F.lit(1.0 - b)
+                              + F.lit(b) * F.col("qdl") / F.lit(self.avgdl))))
+        out = (pairs
+               .withColumn("n_matched", F.size(matched))
+               .filter(F.col("n_matched") >= need)
+               .select("query_id", "doc_id",
+                       F.round(score, round_to).alias("score"))
+               .filter(F.col("score") >= float(min_score)))
+        if not out.isStreaming:
+            out = out.orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+        return out
+
+
+def percolate_oracle_sql(queries: list[str], threshold: float = 0.0,
+                         table: str = "documents", id_col: str = "doc_id",
+                         text_col: str = "text", mode: str = "or",
+                         opts: Bm25Options | None = None) -> str:
+    """DuckDB twin for a percolator whose stats are frozen FROM ``table``
+    itself: per-query full BM25 scoring (same formula/stats convention as
+    :func:`oracle.bm25_oracle_sql`) filtered to ``score >= threshold``."""
+    from .. import oracle as bm25_oracle
+    parts = []
+    for i, q in enumerate(queries):
+        inner = bm25_oracle.bm25_oracle_sql(
+            q, table=table, id_col=id_col, text_col=text_col, k=None,
+            mode=mode, opts=opts)
+        parts.append(
+            f"SELECT {i}::BIGINT AS query_id, * FROM (\n{inner}\n) "
+            f"WHERE score >= {threshold}")
+    return ("\nUNION ALL\n".join(parts)
+            + "\nORDER BY query_id, score DESC, doc_id")

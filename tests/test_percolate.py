@@ -1,0 +1,87 @@
+"""Standing-query percolation: scores must equal the exhaustive scorer
+(per query, same frozen-stats convention), index-frozen stats must match
+corpus-frozen stats on the same corpus, and the streaming form must
+reproduce the batch results exactly (stateless append mode)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_textsearch_spark.config import Bm25Options
+from pg_textsearch_spark.operators.exhaustive import score_exhaustive
+from pg_textsearch_spark.streaming.percolate import Percolator
+
+QUERIES = ["merge", "hash join", "window customer merge"]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+
+
+def _as_map(rows):
+    return {(r["query_id"], r["doc_id"]): r["score"] for r in rows}
+
+
+def test_matches_equal_exhaustive_per_query(spark, docs):
+    opts = Bm25Options(text_config="simple")
+    perc = Percolator.from_corpus(spark, docs, QUERIES, opts=opts)
+    got = _as_map(perc.matches(docs).collect())
+    want = {}
+    for qid, q in enumerate(QUERIES):
+        for r in score_exhaustive(spark, docs, "text", "doc_id", q,
+                                  opts=opts, k=None).collect():
+            want[(qid, r["doc_id"])] = r["score"]
+    assert got == want
+
+
+def test_index_frozen_stats_match_corpus(spark, docs, tmp_path):
+    from pg_textsearch_spark.index.build import Bm25Index
+    opts = Bm25Options(text_config="simple")
+    idx = Bm25Index.build(spark, docs, "text", str(tmp_path / "idx"),
+                          id_col="doc_id", opts=opts)
+    p_idx = Percolator.from_index(idx, QUERIES)
+    p_cor = Percolator.from_corpus(spark, docs, QUERIES, opts=opts)
+    assert p_idx.n_docs == p_cor.n_docs
+    assert p_idx.avgdl == pytest.approx(p_cor.avgdl)
+    got = _as_map(p_idx.matches(docs, min_score=1.0).collect())
+    want = _as_map(p_cor.matches(docs, min_score=1.0).collect())
+    assert got == want and got
+
+
+def test_and_mode_and_threshold(spark, docs):
+    opts = Bm25Options(text_config="simple")
+    perc = Percolator.from_corpus(spark, docs, ["window customer"],
+                                  opts=opts)
+    both = _as_map(perc.matches(docs, mode="and").collect())
+    want = {(0, r["doc_id"]): r["score"]
+            for r in score_exhaustive(spark, docs, "text", "doc_id",
+                                      "window customer", opts=opts,
+                                      k=None, mode="and").collect()}
+    assert both == want and both
+    # threshold prunes: every surviving score clears it, and something
+    # was actually dropped
+    thr = sorted(both.values())[len(both) // 2]
+    kept = _as_map(perc.matches(docs, mode="and", min_score=thr).collect())
+    assert kept and len(kept) < len(both)
+    assert all(s >= thr for s in kept.values())
+
+
+def test_streaming_parity(spark, docs, tmp_path):
+    """matches() over a file-source stream == batch matches(): the plan is
+    stateless, so append mode needs no watermark and emits every match in
+    the first trigger."""
+    opts = Bm25Options(text_config="simple")
+    perc = Percolator.from_corpus(spark, docs, QUERIES, opts=opts)
+    batch = _as_map(perc.matches(docs, min_score=1.0).collect())
+
+    src = str(tmp_path / "src")
+    docs.coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    out = perc.matches(stream, min_score=1.0)
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("perc_par")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = _as_map(spark.sql("select * from perc_par").collect())
+    assert got == batch and got
