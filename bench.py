@@ -232,6 +232,17 @@ def main() -> None:
     extra["bitpack_single_sec"] = timed(
         lambda: bidx.search("merge", k=10).collect())
 
+    # event-time operators (streaming/windows.py; timed batch form — the
+    # streaming twin is parity-pinned in tests). Kept in `extra` so the
+    # headline total stays apples-to-apples with BENCH_r01-r03.
+    from pg_textsearch_spark.streaming.windows import (
+        sessionize, windowed_event_counts)
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    extra["p7_event_windows_sec"] = timed(
+        lambda: windowed_event_counts(events, window="1 hour").collect(), n=2)
+    extra["p8_sessionize_sec"] = timed(
+        lambda: sessionize(events, gap="30 minutes").collect(), n=2)
+
     # parallelism facts for the pipeline ops + the two scan-shaped queries
     # (VERDICT r3 #10): one extra profiled run each, recording jobs /
     # stages / tasks / widest stage
@@ -257,6 +268,11 @@ def main() -> None:
                 Bm25Options(text_config="simple"), k=None).collect()),
         "q9_batch30": task_facts(
             spark, lambda: search_batch(idx, batch_qs, k=10).count()),
+        "p7_event_windows": task_facts(
+            spark, lambda: windowed_event_counts(
+                events, window="1 hour").collect()),
+        "p8_sessionize": task_facts(
+            spark, lambda: sessionize(events, gap="30 minutes").collect()),
     }
 
     control_post = hw_control()
