@@ -243,6 +243,13 @@ def main() -> None:
     extra["p8_sessionize_sec"] = timed(
         lambda: sessionize(events, gap="30 minutes").collect(), n=2)
 
+    # standing-query percolation (streaming/percolate.py): one stateless
+    # zero-shuffle pass routing every doc against 10 frozen queries
+    from pg_textsearch_spark.streaming.percolate import Percolator
+    perc = Percolator.from_index(idx, batch_qs[:10])
+    extra["p9_percolate_sec"] = timed(
+        lambda: perc.matches(docs, min_score=1.0).collect(), n=2)
+
     # parallelism facts for the pipeline ops + the two scan-shaped queries
     # (VERDICT r3 #10): one extra profiled run each, recording jobs /
     # stages / tasks / widest stage
@@ -273,6 +280,8 @@ def main() -> None:
                 events, window="1 hour").collect()),
         "p8_sessionize": task_facts(
             spark, lambda: sessionize(events, gap="30 minutes").collect()),
+        "p9_percolate": task_facts(
+            spark, lambda: perc.matches(docs, min_score=1.0).collect()),
     }
 
     control_post = hw_control()
