@@ -27,7 +27,8 @@ from pyspark.sql import functions as F
 from pg_textsearch_spark.config import Bm25Options
 from pg_textsearch_spark.index.build import Bm25Index
 from pg_textsearch_spark.operators.exhaustive import score_exhaustive
-from pg_textsearch_spark.operators import dedup, multimodal, similarity, textstats
+from pg_textsearch_spark.operators import (dedup, hybrid, multimodal,
+                                            similarity, textstats)
 from pg_textsearch_spark import oracle as bm25_oracle
 
 SIMPLE_OPTS = Bm25Options(text_config="simple", store_positions=True,
@@ -50,6 +51,7 @@ INTL_QUERIES = {"french": "merges windows",
 PERC_QUERIES = ["merge", "hash join", "window customer merge"]
 PERC_THRESHOLD = 1.0
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+HYBRID_VEC_ID = 3   # seed-document vector for the hybrid RRF contract row
 # IVF tombstone set — disjoint from ANN_QUERY_IDS (a deleted query vector
 # would vanish from the engine's query side but not the oracle's)
 IVF_DELETED_IDS = [5, 9, 12, 42]
@@ -339,6 +341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_langid"] = lambda s, d: textstats.lang_id(_docs(s, d))
     q["text_fingerprint"] = lambda s, d: textstats.fingerprints(_docs(s, d))
     q["text_chunk_dups"] = lambda s, d: textstats.chunk_dup_stats(_docs(s, d))
+    q["text_repetition"] = lambda s, d: textstats.repetition_stats(_docs(s, d))
 
     # --- dedup ---
     q["dedup_exact"] = lambda s, d: dedup.exact_dedup(_docs(s, d))
@@ -441,6 +444,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _INDEX_CACHE[key] = art
         return art.search_ids(ANN_QUERY_IDS, k=5, nprobe=2)
     q["ann_ivf_deleted_topk"] = _ivf_deleted
+
+    # hybrid BM25 + vector retrieval, RRF-fused (operators/hybrid.py):
+    # text query and seed-document vector over the aligned doc_id/vec_id
+    # spaces; fusion is rank-only so no score calibration is involved
+    q["hybrid_rrf_topk"] = lambda s, d: hybrid.hybrid_rrf(
+        s, _docs(s, d), _embs(s, d), Q_MULTI, HYBRID_VEC_ID, k=10,
+        n_candidates=50, opts=Bm25Options(text_config="simple"))
 
     # --- standing-query percolation (streaming/percolate.py): K queries
     # frozen once, every document scored against all of them in one
@@ -580,6 +590,7 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
     o["text_langid"] = textstats.lang_id_oracle_sql()
     o["text_fingerprint"] = textstats.fingerprints_oracle_sql()
     o["text_chunk_dups"] = textstats.chunk_dup_stats_oracle_sql()
+    o["text_repetition"] = textstats.repetition_stats_oracle_sql()
 
     o["dedup_exact"] = dedup.exact_dedup_oracle_sql()
     o["dedup_ngram_jaccard"] = dedup.ngram_jaccard_pairs_oracle_sql(threshold=0.2)
@@ -618,6 +629,8 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
     o["ann_ivf_deleted_topk"] = similarity.ivf_topk_oracle_sql(
         ANN_QUERY_IDS, k=5, dim=EMB_DIM, n_iters=2,
         exclude_ids=IVF_DELETED_IDS)
+    o["hybrid_rrf_topk"] = hybrid.hybrid_rrf_oracle_sql(
+        Q_MULTI, HYBRID_VEC_ID, k=10, n_candidates=50, dim=EMB_DIM)
 
     from pg_textsearch_spark.streaming.percolate import percolate_oracle_sql
     o["bm25_percolate"] = percolate_oracle_sql(

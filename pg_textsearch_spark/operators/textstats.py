@@ -291,6 +291,210 @@ FROM fps GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# ------------------------------------------------------- repetition stats
+
+REP_TOP_NS = (2, 3)   # top-n-gram char-fraction sizes (Gopher table A1)
+REP_DUP_N = 5         # duplicate-n-gram occurrence-fraction size
+
+
+def _ngram_array(words, n: int) -> F.Column:
+    """Overlapping word n-grams of ``words`` joined by single spaces
+    (empty array when the doc has fewer than n tokens)."""
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, (i + j + 1).cast("int"))
+                       for j in range(n)]))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _dup_walk(arr) -> F.Column:
+    """(dup_occurrences, dup_chars) over ``arr``: occurrences of any value
+    appearing >= 2 times, and their summed lengths. Computed as a single
+    codegen'd fold over the SORTED array (equal values form one run), so
+    it is O(n log n) per row and fully map-side — no explode, no shuffle."""
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("dupn"),
+        F.lit(0).cast("long").alias("dupc"))
+
+    def merge(acc, x):
+        run2 = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        # a run contributes ALL its occurrences: +2 when it becomes a dup
+        # (retroactively counting the first element), +1 for each after
+        addn = (F.when(run2 == 2, F.lit(2)).when(run2 > 2, F.lit(1))
+                .otherwise(F.lit(0)).cast("long"))
+        return F.struct(
+            x.alias("prev"), run2.alias("run"),
+            (acc["dupn"] + addn).alias("dupn"),
+            (acc["dupc"] + addn * F.length(x)).alias("dupc"))
+
+    return F.aggregate(
+        F.array_sort(arr), zero, merge,
+        lambda acc: F.struct(acc["dupn"].alias("dupn"),
+                             acc["dupc"].alias("dupc")))
+
+
+def _top_walk(arr) -> F.Column:
+    """(count, value) of the most frequent element of ``arr``; ties go to
+    the lexicographically smallest value (first max run in sorted order
+    wins — the eager update only replaces on a STRICTLY longer run).
+    Same sorted-fold shape as :func:`_dup_walk`."""
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"), F.lit("").alias("bestg"))
+
+    def merge(acc, x):
+        run2 = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        gt = run2 > acc["best"]
+        return F.struct(
+            x.alias("prev"), run2.alias("run"),
+            F.when(gt, run2).otherwise(acc["best"]).alias("best"),
+            F.when(gt, x).otherwise(acc["bestg"]).alias("bestg"))
+
+    return F.aggregate(
+        F.array_sort(arr), zero, merge,
+        lambda acc: F.struct(acc["best"].alias("best"),
+                             acc["bestg"].alias("bestg")))
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    table A1), the standard "remove auto-generated / boilerplate pages"
+    pre-training filter:
+
+    - ``dup_line_bp`` / ``dup_line_char_bp`` — fraction (basis points) of
+      non-empty lines that are occurrences of a repeated line, and of
+      line characters inside those occurrences;
+    - ``top2gram_char_bp`` / ``top3gram_char_bp`` — fraction of word
+      characters covered by the single most frequent word 2-/3-gram
+      (count x gram-chars-sans-spaces / total word chars; can exceed
+      10000 bp when occurrences overlap — ties go to the
+      lexicographically smallest gram);
+    - ``dup5gram_bp`` — fraction of word 5-gram occurrences that are
+      occurrences of a repeated 5-gram (occurrence-based, not Gopher's
+      char-marking variant — documented simplification).
+
+    100 TB shape: every stat is a codegen'd sorted-array fold per row
+    (O(T log T)), so the computation is a pure map over input splits —
+    the ONLY exchange in the plan is the final presentation ``orderBy``
+    (driver-contract determinism; drop it for pipeline use). Integer
+    basis points keep it bit-identical to the DuckDB twin.
+    """
+    t = F.col(text_col)
+    words = F.regexp_extract_all(F.lower(t), F.lit(WORD_RE), 0)
+    lines = F.filter(F.split(t, "\n"), lambda x: x != "")
+    bp = lambda num, den: F.floor(F.lit(10000) * num
+                                  / F.greatest(den, F.lit(1))).cast("long")
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.length(F.concat_ws("", lines)).cast("long").alias("line_chars"),
+        F.length(F.concat_ws("", words)).cast("long").alias("word_chars"),
+        _dup_walk(lines).alias("ld"),
+        *[_top_walk(_ngram_array(words, n)).alias(f"t{n}") for n in REP_TOP_NS],
+        _dup_walk(_ngram_array(words, REP_DUP_N)).alias("d5"),
+        F.greatest(F.size(words) - (REP_DUP_N - 1), F.lit(0))
+        .cast("long").alias("n5"),
+    )
+    top_cols = [
+        F.when(F.col(f"t{n}")["best"] > 0,
+               bp(F.col(f"t{n}")["best"]
+                  * (F.length(F.col(f"t{n}")["bestg"]) - (n - 1)),
+                  F.col("word_chars")))
+        .otherwise(F.lit(0)).cast("long").alias(f"top{n}gram_char_bp")
+        for n in REP_TOP_NS]
+    return base.select(
+        "doc_id", "n_lines",
+        bp(F.col("ld")["dupn"], F.col("n_lines")).alias("dup_line_bp"),
+        bp(F.col("ld")["dupc"], F.col("line_chars")).alias("dup_line_char_bp"),
+        *top_cols,
+        bp(F.col("d5")["dupn"], F.col("n5")).alias("dup5gram_bp"),
+    ).orderBy("doc_id")
+
+
+def repetition_stats_oracle_sql(table: str = "documents",
+                                text_col: str = "text",
+                                id_col: str = "doc_id") -> str:
+    def gram_cte(n: int, name: str) -> str:
+        return f"""
+{name} AS (
+  SELECT doc_id, unnest([array_to_string(w[i:i+{n - 1}], ' ')
+                         for i in range(1, GREATEST(len(w) - {n - 2}, 1))]) AS g
+  FROM toks
+),
+{name}c AS (SELECT doc_id, g, count(*) AS c FROM {name} GROUP BY doc_id, g)"""
+
+    top_sel = []
+    for n in REP_TOP_NS:
+        top_sel.append(f"""
+g{n}top AS (
+  SELECT doc_id, c, length(g) AS glen
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY c DESC, g ASC) AS rn
+        FROM g{n}c)
+  WHERE rn = 1
+)""")
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id, {text_col} AS text FROM {table}
+),
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{WORD_RE}') AS w FROM base
+),
+lines AS (
+  SELECT doc_id, l AS line
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM base)
+  WHERE l <> ''
+),
+lc AS (
+  SELECT doc_id, line, count(*) AS c, length(line) AS len
+  FROM lines GROUP BY doc_id, line
+),
+lagg AS (
+  SELECT doc_id,
+         SUM(c) AS n_lines,
+         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_lines,
+         SUM(c * len) AS line_chars,
+         SUM(CASE WHEN c > 1 THEN c * len ELSE 0 END) AS dup_chars
+  FROM lc GROUP BY doc_id
+),
+wc AS (
+  SELECT doc_id, length(array_to_string(w, '')) AS word_chars,
+         GREATEST(len(w) - {REP_DUP_N - 1}, 0) AS n5
+  FROM toks
+),{gram_cte(2, "g2")},{gram_cte(3, "g3")},{",".join(top_sel)},
+{gram_cte(REP_DUP_N, "g5")},
+g5agg AS (
+  SELECT doc_id, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup5
+  FROM g5c GROUP BY doc_id
+)
+SELECT b.doc_id,
+       COALESCE(l.n_lines, 0)::BIGINT AS n_lines,
+       (10000 * COALESCE(l.dup_lines, 0)
+        // GREATEST(COALESCE(l.n_lines, 0), 1))::BIGINT AS dup_line_bp,
+       (10000 * COALESCE(l.dup_chars, 0)
+        // GREATEST(COALESCE(l.line_chars, 0), 1))::BIGINT AS dup_line_char_bp,
+       (10000 * COALESCE(t2.c, 0) * GREATEST(COALESCE(t2.glen, 0) - 1, 0)
+        // GREATEST(w.word_chars, 1))::BIGINT AS top2gram_char_bp,
+       (10000 * COALESCE(t3.c, 0) * GREATEST(COALESCE(t3.glen, 0) - 2, 0)
+        // GREATEST(w.word_chars, 1))::BIGINT AS top3gram_char_bp,
+       (10000 * COALESCE(g5.dup5, 0)
+        // GREATEST(w.n5, 1))::BIGINT AS dup5gram_bp
+FROM base b
+LEFT JOIN lagg l USING (doc_id)
+LEFT JOIN wc w USING (doc_id)
+LEFT JOIN g2top t2 USING (doc_id)
+LEFT JOIN g3top t3 USING (doc_id)
+LEFT JOIN g5agg g5 USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
 # ------------------------------------------- chunk-level exact dedup stats
 
 CHUNK_WORDS = 16

@@ -182,3 +182,36 @@ def test_chunk_dup_stats(spark):
     assert got[2] == (2, 1, 5000)
     assert got[3] == (2, 2, 10000)        # within-doc repeat counts
     assert got[4] == (1, 0, 0)
+
+
+# ------------------------------------------------ repetition stats (Gopher)
+
+def test_repetition_stats_hand_corpus(spark):
+    import duckdb
+    from pg_textsearch_spark.operators import textstats
+    docs = spark.createDataFrame(
+        [(1, "alpha beta\nalpha beta\ngamma delta"),  # repeated line
+         (2, "x y x y x y x y x y"),                  # heavy n-gram repeats
+         (3, ""),                                     # empty doc
+         (4, "single")],                              # no grams at all
+        "doc_id long, text string")
+    cols = ("n_lines", "dup_line_bp", "dup_line_char_bp",
+            "top2gram_char_bp", "top3gram_char_bp", "dup5gram_bp")
+    got = {r["doc_id"]: tuple(r[c] for c in cols)
+           for r in textstats.repetition_stats(docs).collect()}
+    # doc 1: 2/3 lines dup (6666 bp), 20/31 line chars (6451);
+    # top 2-gram "alpha beta" x2 -> 2*9/28 word chars (6428); 3-grams all
+    # unique, tie -> lex-smallest "alpha beta alpha" -> 14/28 (5000)
+    assert got[1] == (3, 6666, 6451, 6428, 5000, 0)
+    # doc 2: "x y" x5 -> 10/10 chars; "x y x" x4 -> 12/10 (overlap > 1);
+    # all six 5-grams are occurrences of a repeated gram -> 10000
+    assert got[2] == (1, 0, 0, 10000, 12000, 10000)
+    assert got[3] == (0, 0, 0, 0, 0, 0)
+    assert got[4] == (1, 0, 0, 0, 0, 0)
+
+    # DuckDB twin agrees row-for-row on the same corpus
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    odf = con.sql(textstats.repetition_stats_oracle_sql()).df()
+    for _, r in odf.iterrows():
+        assert got[int(r["doc_id"])] == tuple(int(r[c]) for c in cols)
