@@ -475,6 +475,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # different row set from the thresholded or-row)
     q["bm25_percolate_and"] = _percolate("and", 0.0)
 
+    # inverted-query-index scale path (large K): O(matching postings)
+    # compute + one matched-pair shuffle instead of O(docs x K) probes;
+    # must reproduce the NLJ rows bit-for-bit, so it shares the oracle
+    def _percolate_inv(s, d):
+        key = "perc:" + os.path.abspath(d)
+        perc = _INDEX_CACHE.get(key)
+        if perc is None:
+            perc = Percolator.from_corpus(
+                s, _docs(s, d), PERC_QUERIES,
+                opts=Bm25Options(text_config="simple"))
+            _INDEX_CACHE[key] = perc
+        return perc.matches_inverted(_docs(s, d), min_score=PERC_THRESHOLD)
+    q["bm25_percolate_inverted"] = _percolate_inv
+
     # --- event-time windows / sessionization (streaming/windows.py;
     # the SAME functions run as Structured Streaming queries — parity
     # pinned by tests/test_streaming_windows.py). Boundaries emitted as
@@ -637,6 +651,8 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
         PERC_QUERIES, threshold=PERC_THRESHOLD)
     o["bm25_percolate_and"] = percolate_oracle_sql(
         PERC_QUERIES, threshold=0.0, mode="and")
+    o["bm25_percolate_inverted"] = percolate_oracle_sql(
+        PERC_QUERIES, threshold=PERC_THRESHOLD)
 
     from pg_textsearch_spark.streaming import windows as ev
     o["events_windowed_counts"] = ev.windowed_event_counts_oracle_sql(

@@ -165,6 +165,67 @@ class Percolator:
             out = out.orderBy("query_id", F.desc("score"), F.asc("doc_id"))
         return out
 
+    def matches_inverted(self, docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", min_score: float = 0.0,
+                         mode: str = "or", round_to: int = 4) -> DataFrame:
+        """Same contract as :meth:`matches`, via an INVERTED QUERY INDEX —
+        the scale path for large K (SCALE.md documents the flip point).
+
+        :meth:`matches` is zero-shuffle but does O(docs x K) term-map
+        probes: every document pays a lookup against every standing
+        query. Here the standing queries are flattened to a term-level
+        table (term -> query_id, qfreq, idf; one row per distinct query
+        term, broadcast), each document's matching terms join against it,
+        and a (query_id, doc_id) aggregate sums the BM25 contributions —
+        so compute is O(matching postings) and documents matching nothing
+        never reach the aggregate. Cost: ONE shuffle of the matched pairs
+        (narrow rows, selective queries shrink it). Prefer this when
+        K x docs dwarfs the expected match count (alert fleets with
+        thousands of standing rules); prefer :meth:`matches` for
+        human-scale K where zero-shuffle wins. Batch-only (the aggregate
+        needs a shuffle; the streaming form would need watermark state —
+        use :meth:`matches` in streams).
+        """
+        if mode not in ("or", "and"):
+            raise ValueError("percolate supports modes 'or' and 'and'")
+        if docs.isStreaming:
+            raise ValueError("matches_inverted is batch-only; use "
+                             "matches() for streaming percolation")
+        k1, b = float(self.opts.k1), float(self.opts.b)
+        tdf = self._qdf.select(
+            "query_id", "n_distinct",
+            F.explode("qterms").alias("q")
+        ).select("query_id", "n_distinct", "q.term", "q.qfreq", "q.idf")
+
+        arrays = doc_term_arrays(docs, text_col, id_col, self.opts)
+        exploded = (arrays
+                    .withColumn("qdl", quantize_len_col(F.col("doc_len"))
+                                .cast("double"))
+                    .select("doc_id", "qdl",
+                            F.explode(F.arrays_zip(
+                                F.col("terms").alias("term"),
+                                F.col("tfs").alias("tf"))).alias("p"))
+                    .select("doc_id", "qdl", "p.term",
+                            F.col("p.tf").cast("double").alias("tf")))
+        joined = exploded.join(F.broadcast(tdf), "term")
+        contrib = (F.col("qfreq") * F.col("idf")
+                   * (F.col("tf") * F.lit(k1 + 1.0))
+                   / (F.col("tf") + F.lit(k1)
+                      * (F.lit(1.0 - b)
+                         + F.lit(b) * F.col("qdl") / F.lit(self.avgdl))))
+        per_pair = (joined
+                    .groupBy("query_id", "doc_id")
+                    .agg(F.sum(contrib).alias("raw"),
+                         F.count("*").alias("n_matched"),
+                         F.first("n_distinct").alias("nd")))
+        need = F.lit(1) if mode == "or" else F.col("nd").cast("int")
+        return (per_pair
+                .filter(F.col("n_matched") >= need)
+                .select("query_id", "doc_id",
+                        F.round(F.col("raw"), round_to).alias("score"))
+                .filter(F.col("score") >= float(min_score))
+                .orderBy("query_id", F.desc("score"), F.asc("doc_id")))
+
 
 def percolate_oracle_sql(queries: list[str], threshold: float = 0.0,
                          table: str = "documents", id_col: str = "doc_id",

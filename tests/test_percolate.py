@@ -85,3 +85,21 @@ def test_streaming_parity(spark, docs, tmp_path):
     q.awaitTermination(120)
     got = _as_map(spark.sql("select * from perc_par").collect())
     assert got == batch and got
+
+
+def test_inverted_path_equals_nlj_path(spark, docs):
+    """matches_inverted (the large-K scale path) must reproduce matches()
+    exactly — same pairs, same rounded scores — in both modes, and must
+    refuse streaming input (its aggregate needs a shuffle)."""
+    opts = Bm25Options(text_config="simple")
+    perc = Percolator.from_corpus(spark, docs, QUERIES, opts=opts)
+    for mode in ("or", "and"):
+        a = _as_map(perc.matches(docs, mode=mode, min_score=1.0).collect())
+        b = _as_map(perc.matches_inverted(
+            docs, mode=mode, min_score=1.0).collect())
+        assert a == b and a
+
+    stream = (spark.readStream.schema(docs.schema)
+              .parquet("/root/testdata/sf0.001"))
+    with pytest.raises(ValueError, match="batch-only"):
+        perc.matches_inverted(stream)
