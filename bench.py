@@ -249,6 +249,21 @@ def main() -> None:
     perc = Percolator.from_index(idx, batch_qs[:10])
     extra["p9_percolate_sec"] = timed(
         lambda: perc.matches(docs, min_score=1.0).collect(), n=2)
+    # ...and the inverted-query scale path over the same standing queries
+    extra["p9b_percolate_inverted_sec"] = timed(
+        lambda: perc.matches_inverted(docs, min_score=1.0).collect(), n=2)
+
+    # hybrid BM25 + vector RRF fusion (operators/hybrid.py)
+    from pg_textsearch_spark.operators.hybrid import hybrid_rrf
+    extra["p10_hybrid_rrf_sec"] = timed(
+        lambda: hybrid_rrf(spark, docs, embs, "hash join merge", 3,
+                           k=10, n_candidates=50,
+                           opts=Bm25Options(text_config="simple"))
+        .collect(), n=2)
+
+    # Gopher repetition signals (operators/textstats.py) — pure map
+    extra["p11_repetition_sec"] = timed(
+        lambda: textstats.repetition_stats(docs).collect(), n=2)
 
     # parallelism facts for the pipeline ops + the two scan-shaped queries
     # (VERDICT r3 #10): one extra profiled run each, recording jobs /
@@ -282,6 +297,11 @@ def main() -> None:
             spark, lambda: sessionize(events, gap="30 minutes").collect()),
         "p9_percolate": task_facts(
             spark, lambda: perc.matches(docs, min_score=1.0).collect()),
+        "p9b_percolate_inverted": task_facts(
+            spark, lambda: perc.matches_inverted(
+                docs, min_score=1.0).collect()),
+        "p11_repetition": task_facts(
+            spark, lambda: textstats.repetition_stats(docs).collect()),
     }
 
     control_post = hw_control()
