@@ -179,6 +179,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pg_textsearch_spark.index.query", fromlist=["search_batch"]
     ).search_batch(_index_for(s, d), Q_BATCH, k=10)
 
+    def _served(s, d):
+        # driver-local serving read path (index/serve.py): same artifacts,
+        # same kernel, NO Spark job — converted to a DataFrame only for the
+        # contract compare, pinned against the same oracle as
+        # bm25_topk_single/bm25_phrase
+        srv = _index_for(s, d).serving()
+        single = srv.search(Q_SINGLE, k=10).assign(qid=0)
+        phrase = srv.search(Q_PHRASE, k=10, mode="phrase").assign(qid=1)
+        import pandas as pd
+        return s.createDataFrame(pd.concat([single, phrase]),
+                                 "doc_id long, score double, qid int")
+    q["bm25_topk_served"] = _served
+
     # --- BM25 exhaustive join/groupBy path (reference Q9) ---
     q["bm25_score_all"] = lambda s, d: score_exhaustive(
         s, _docs(s, d), "text", "doc_id", Q_ALL,
@@ -540,6 +553,11 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_topk_merged"] = bm25_oracle.bm25_oracle_sql(Q_MULTI, k=10)
     o["bm25_term_stats"] = bm25_oracle.term_stats_oracle_sql(STAT_TERMS)
     o["bm25_batch_topk"] = bm25_oracle.bm25_batch_oracle_sql(Q_BATCH, k=10)
+    o["bm25_topk_served"] = (
+        "SELECT doc_id, score, 0 AS qid FROM ("
+        + bm25_oracle.bm25_oracle_sql(Q_SINGLE, k=10)
+        + ") UNION ALL SELECT doc_id, score, 1 AS qid FROM ("
+        + bm25_oracle.bm25_oracle_sql(Q_PHRASE, k=10, mode="phrase") + ")")
     o["bm25_score_all"] = bm25_oracle.bm25_oracle_sql(Q_ALL, k=None)
     o["bm25_prefiltered"] = bm25_oracle.bm25_oracle_sql(
         Q_ALL, table="(SELECT * FROM documents WHERE lang = 'es')", k=10)

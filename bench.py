@@ -144,6 +144,30 @@ def main() -> None:
     queries["q9_batch30"] = timed(
         lambda: search_batch(idx, batch_qs, k=10).count(), n=2)
 
+    # q10: driver-local serving read path (index/serve.py) — the point-query
+    # shape. Reported in ms/query: cold (first touch of each term's posting
+    # rows) and warm (LRU hit), vs the reference's 5-178 ms single-client
+    # band (BASELINE.md). Same artifacts + kernel as q1-q4; no Spark job.
+    srv = idx.serving()
+    t0 = time.time()
+    for q in batch_qs[:10]:
+        srv.search(q, k=10)
+    cold_ms = (time.time() - t0) * 100.0  # /10 queries, *1000 -> ms
+    t0 = time.time()
+    for _ in range(3):
+        for q in batch_qs[:10]:
+            srv.search(q, k=10)
+    warm_ms = (time.time() - t0) * 100.0 / 3
+    # NOT added to `queries` — ms units would pollute the summed headline
+    # total; lands in extra["serve"] below
+    extra_serve = {"cold_ms_per_query": round(cold_ms, 3),
+                   "warm_ms_per_query": round(warm_ms, 3),
+                   "batch30_ms_per_query": None}
+    t0 = time.time()
+    srv.search_batch(batch_qs, k=10)
+    extra_serve["batch30_ms_per_query"] = round(
+        (time.time() - t0) * 1000.0 / len(batch_qs), 3)
+
     # pipeline operators (single run each — these are batch jobs)
     queries["p1_minhash_pairs"] = timed(
         lambda: dedup.minhash_candidate_pairs(docs).collect(), n=2)
@@ -172,7 +196,7 @@ def main() -> None:
 
     # ---- extras: NOT summed into the headline total (keeps `value` and
     # `queries` apples-to-apples with BENCH_r01/r02) -----------------------
-    extra = {}
+    extra = {"serve": extra_serve}
 
     # Block-Max prune counters (reference log_bmw_stats analogue) for EVERY
     # headline query — round-4 judging can audit pruning from artifacts

@@ -736,6 +736,12 @@ class Bm25Index:
                      .orderBy(F.asc("score"), F.asc("doc_id"))
         return out
 
+    def serving(self, cache_terms: int = 4096):
+        """Driver-local serving read path over this index's artifacts —
+        point queries in milliseconds, no Spark job (see index/serve.py)."""
+        from .serve import LocalSearcher
+        return LocalSearcher(self.path, cache_terms=cache_terms)
+
     def resolve(self, results: DataFrame) -> DataFrame:
         """Attach the original document id (``source_id``) to a result
         frame keyed by internal ``doc_id`` — needed after a

@@ -754,36 +754,23 @@ def search_profiled(index: "Bm25Index", query: str, k: int | None | str = 10,
     return pdf[["doc_id", "score"]].reset_index(drop=True), stats
 
 
-def _search_batch_local(index: "Bm25Index", queries: list[str], k: int,
-                        round_to: int, profile: bool):
-    """Shared plan builder for batched retrieval: per-segment kernel output
-    (query_id, doc_id, raw_score[, profile cols]) or None for empty input."""
-    opts = index.manifest.opts
-    n = index.manifest.total_docs
-    avgdl = max(index.manifest.avgdl, 1e-9)
+def make_batch_kernel(per_query: list[list[tuple[str, float]]], n_docs: int,
+                      k: int, opts: Bm25Options, avgdl: float,
+                      round_to: int = 4, profile: bool = False,
+                      deleted_bc=None, static_df: dict[str, int] | None = None):
+    """Build the per-segment batched-retrieval kernel (shared by the Spark
+    ``search_batch`` path and the driver-local serving path). ``per_query``:
+    tokenized (term, qfreq) lists. Global doc_freq comes from ``static_df``
+    when given (serving path / warm cache), else from the window-attached
+    ``gdf`` column."""
+    n = int(n_docs)
     k1, b = float(opts.k1), float(opts.b)
     block_size = opts.block_size
     codec = opts.codec
     eps = 10.0 ** (-round_to)
 
-    per_query: list[list[tuple[str, float]]] = []
-    all_terms: set[str] = set()
-    for q in queries:
-        qt = tokenize_query(q, opts.text_config)
-        per_query.append([(t, float(f)) for t, f in qt])
-        all_terms.update(t for t, _ in qt)
-    if not all_terms:
-        return None
-
-    from .delete import tombstone_broadcast
-    deleted_bc = tombstone_broadcast(index)
-
     norm_len = DECODE_TABLE.astype(np.float64)
     denom_norm = k1 * (1.0 - b + b * norm_len / avgdl)
-
-    out_schema = "query_id int, doc_id long, raw_score double"
-    if profile:
-        out_schema += ", segment_id string, blocks_decoded long, blocks_total long"
 
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         seg_id = str(key[0])
@@ -806,7 +793,10 @@ def _search_batch_local(index: "Bm25Index", queries: list[str], k: int,
         per_term: dict[str, list[dict]] = {}
         for rec in pdf.sort_values(["term", "shard"]).to_dict("records"):
             per_term.setdefault(rec["term"], []).append(rec)
-        gdf = {t: int(rows_[0]["gdf"]) for t, rows_ in per_term.items()}
+        if static_df is not None:
+            gdf = {t: int(static_df[t]) for t in per_term}
+        else:
+            gdf = {t: int(rows_[0]["gdf"]) for t, rows_ in per_term.items()}
         blocks_total = sum(int(r["num_blocks"])
                            for rows_ in per_term.values() for r in rows_)
         readers = {t: _TermReader(rows_, block_size, codec, denom_norm, k1,
@@ -846,6 +836,41 @@ def _search_batch_local(index: "Bm25Index", queries: list[str], k: int,
             out["blocks_decoded"] = np.int64(counters["decoded"])
             out["blocks_total"] = np.int64(blocks_total)
         return out
+
+    return kernel
+
+
+def tokenize_batch(queries: list[str], opts: Bm25Options
+                   ) -> tuple[list[list[tuple[str, float]]], set[str]]:
+    """Tokenize a query batch: (per-query (term, qfreq) lists, union of
+    terms)."""
+    per_query: list[list[tuple[str, float]]] = []
+    all_terms: set[str] = set()
+    for q in queries:
+        qt = tokenize_query(q, opts.text_config)
+        per_query.append([(t, float(f)) for t, f in qt])
+        all_terms.update(t for t, _ in qt)
+    return per_query, all_terms
+
+
+def _search_batch_local(index: "Bm25Index", queries: list[str], k: int,
+                        round_to: int, profile: bool):
+    """Shared plan builder for batched retrieval: per-segment kernel output
+    (query_id, doc_id, raw_score[, profile cols]) or None for empty input."""
+    opts = index.manifest.opts
+    per_query, all_terms = tokenize_batch(queries, opts)
+    if not all_terms:
+        return None
+
+    from .delete import tombstone_broadcast
+    kernel = make_batch_kernel(
+        per_query, index.manifest.total_docs, k, opts,
+        max(index.manifest.avgdl, 1e-9), round_to=round_to, profile=profile,
+        deleted_bc=tombstone_broadcast(index))
+
+    out_schema = "query_id int, doc_id long, raw_score double"
+    if profile:
+        out_schema += ", segment_id string, blocks_decoded long, blocks_total long"
 
     postings = _read_postings(index, sorted(all_terms))
     postings = postings.drop(*[c for c in ("pos_counts_bin",

@@ -1,0 +1,218 @@
+"""Driver-local serving read path — point queries WITHOUT a Spark job.
+
+Spark is the build / merge / batch-analytics engine; its per-job
+scheduling floor (~0.5-1 s even on local[32]) dominates single-query
+latency no matter how little work the query does — round 3 measured
+0.7-0.9 s/query against the reference's 5-178 ms (BASELINE.md). The
+index artifacts, however, are plain Parquet plus an atomically-renamed
+JSON manifest, and the scoring kernels (``make_segment_kernel`` /
+``make_batch_kernel``: MaxScore + block-max over lazily decoded blocks)
+are plain numpy. :class:`LocalSearcher` reads the SAME files with
+pyarrow — term-filtered and row-group-pruned: postings files are
+written (term, shard)-sorted, so parquet column statistics skip
+non-matching row groups — and runs the SAME kernels in-process.
+Results are pinned identical to ``search_index`` / ``search_batch`` in
+tests and oracle-checked by the driver (``bm25_topk_served``).
+
+This is the reference's own split grafted onto Spark: pg_textsearch
+builds segments with parallel workers but answers ``ORDER BY <@>``
+queries from shared_buffers on one backend
+(/root/reference/src/scoring/bmw.c:1477-1716) — build and serve are
+separate concerns with shared storage.
+
+100 TB shape: one LocalSearcher per serving replica, all reading the
+manifest snapshot from shared storage (the JSON rename is the commit
+point, so a reader never loads a half-written index; ``refresh()``
+picks up LSM appends / merges / vacuums by mtime). Per-replica memory
+is bounded by the LRU term cache — hot terms keep their posting
+binaries resident, exactly the shared_buffers behaviour. The Spark
+path remains the right shape for batch scoring, joins, faceting and
+anything that composes with the rest of a pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import OrderedDict
+
+import pandas as pd
+
+from .build import POSTINGS_DIR
+from .delete import DELETES_DIR, deletes_by_segment
+from .manifest import MANIFEST_NAME, Manifest
+from .query import (_resolve_k, make_batch_kernel, make_segment_kernel,
+                    tokenize_batch)
+from ..functions.tokenizer import tokenize_query
+
+_EMPTY = {"doc_id": "int64", "score": "float64"}
+_EMPTY_BATCH = {"query_id": "int32", "doc_id": "int64", "score": "float64"}
+
+
+def _empty(spec: dict) -> pd.DataFrame:
+    return pd.DataFrame({c: pd.Series(dtype=t) for c, t in spec.items()})
+
+
+class LocalSearcher:
+    """Serve BM25 queries from a built index directory, in-process.
+
+    ``cache_terms`` bounds the LRU of per-term posting rows (dictionary
+    entry + compressed blocks + skip arrays, straight out of parquet);
+    a hot term's second query skips the file read entirely.
+    """
+
+    def __init__(self, path: str, cache_terms: int = 4096):
+        self.path = path
+        self.cache_terms = int(cache_terms)
+        self._load()
+
+    # -- snapshot management ------------------------------------------------
+    def _load(self) -> None:
+        self.manifest = Manifest.load(self.path)
+        self._manifest_mtime = os.path.getmtime(
+            os.path.join(self.path, MANIFEST_NAME))
+        self._terms: OrderedDict[str, list[dict]] = OrderedDict()
+        self._gdf: dict[str, int] = {}
+        self._tomb_key = None
+        self._tomb = None
+
+    def refresh(self) -> bool:
+        """Reload if the manifest changed on disk (append/merge/vacuum
+        commit — each ends in an atomic manifest rename). Called at the
+        top of every search: one stat(2), no I/O when unchanged."""
+        mt = os.path.getmtime(os.path.join(self.path, MANIFEST_NAME))
+        if mt != self._manifest_mtime:
+            self._load()
+            return True
+        return False
+
+    # -- artifact access ----------------------------------------------------
+    def _postings_paths(self) -> list[str]:
+        return [os.path.join(self.manifest.segment_dir(s.segment_id),
+                             POSTINGS_DIR)
+                for s in self.manifest.segments]
+
+    def _tombstones(self):
+        ddir = os.path.join(self.path, DELETES_DIR)
+        key = (tuple(sorted(os.listdir(ddir)))
+               if os.path.isdir(ddir) else (), self.manifest.updated_at)
+        if key != self._tomb_key:
+            # deletes_by_segment needs only .path and .manifest
+            self._tomb = deletes_by_segment(self)
+            self._tomb_key = key
+        return self._tomb
+
+    def _fetch(self, terms: list[str]) -> dict[str, list[dict]]:
+        """Posting rows for ``terms`` from the LRU cache, reading the
+        missing ones in ONE filtered dataset scan (row groups whose
+        term range excludes every missing term are skipped via parquet
+        statistics — the driver-local analogue of the Spark path's
+        ``term IN`` PushedFilters)."""
+        missing = sorted({t for t in terms if t not in self._terms})
+        if missing:
+            import pyarrow.dataset as pds
+            files = [os.path.join(d, f)
+                     for d in self._postings_paths()
+                     for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+            tbl = (pds.dataset(files)
+                   .to_table(filter=pds.field("term").isin(missing)))
+            got: dict[str, list[dict]] = {}
+            for rec in (tbl.to_pandas()
+                        .sort_values(["segment_id", "term", "shard"])
+                        .to_dict("records")):
+                got.setdefault(rec["term"], []).append(rec)
+            for t in missing:
+                rows = got.get(t, [])
+                self._terms[t] = rows
+                self._gdf[t] = int(sum(r["doc_freq"] for r in rows))
+        out, gdf = {}, {}
+        for t in terms:
+            self._terms.move_to_end(t)
+            out[t] = self._terms[t]
+            gdf[t] = self._gdf[t]
+        # evict AFTER snapshotting: this query keeps its rows and global
+        # doc_freqs even when the LRU is smaller than the query
+        while len(self._terms) > self.cache_terms:
+            old, _ = self._terms.popitem(last=False)
+            self._gdf.pop(old, None)
+        return out, gdf
+
+    @staticmethod
+    def _by_segment(rows: dict[str, list[dict]]) -> dict[str, list[dict]]:
+        by_seg: dict[str, list[dict]] = {}
+        for rws in rows.values():
+            for r in rws:
+                by_seg.setdefault(r["segment_id"], []).append(r)
+        return by_seg
+
+    # -- queries --------------------------------------------------------
+    def search(self, query: str, k: int | None | str = 10, mode: str = "or",
+               round_to: int = 4) -> pd.DataFrame:
+        """Top-k for one query; identical results, ordering and tie rules
+        to ``Bm25Index.search`` (pinned in tests/test_serve.py)."""
+        self.refresh()
+        opts = self.manifest.opts
+        k = _resolve_k(k, opts)
+        qterms = tokenize_query(query, opts.text_config)
+        if not qterms:
+            return _empty(_EMPTY)
+        terms = [t for t, _ in qterms]
+        qfreqs = {t: float(f) for t, f in qterms}
+
+        phrase_occs = None
+        if mode == "phrase":
+            if not opts.store_positions:
+                raise ValueError("phrase search requires an index built "
+                                 "with store_positions=True")
+            from ..spark_utils import _tokenize_with_positions
+            ts, _, _, ps = _tokenize_with_positions(query, opts.text_config,
+                                                    {})
+            occ = [(t, p) for t, pl in zip(ts, ps) for p in pl]
+            base = min(p for _, p in occ)
+            phrase_occs = [(t, p - base) for t, p in occ]
+
+        rows, gdf = self._fetch(terms)
+        kernel = make_segment_kernel(
+            qfreqs, self.manifest.total_docs, k, opts,
+            max(self.manifest.avgdl, 1e-9), mode, phrase_occs,
+            deleted_bc=self._tombstones(), static_df=gdf,
+            round_to=round_to)
+        parts = [kernel((seg_id,), pd.DataFrame(rs))
+                 for seg_id, rs in self._by_segment(rows).items()]
+        parts = [p for p in parts if len(p)]
+        if not parts:
+            return _empty(_EMPTY)
+        pdf = pd.concat(parts, ignore_index=True)
+        pdf = pdf.assign(score=pdf["raw_score"].round(round_to))
+        pdf = pdf.sort_values(["score", "doc_id"], ascending=[False, True],
+                              kind="mergesort")
+        if k is not None:
+            pdf = pdf.head(k)
+        return pdf[["doc_id", "score"]].reset_index(drop=True)
+
+    def search_batch(self, queries: list[str], k: int = 10,
+                     round_to: int = 4) -> pd.DataFrame:
+        """Batched disjunctive top-k; same shared-decode-cache kernel as
+        the Spark ``search_batch`` (a block decodes at most once per
+        segment across the whole batch), same output and ordering."""
+        self.refresh()
+        opts = self.manifest.opts
+        per_query, all_terms = tokenize_batch(queries, opts)
+        if not all_terms:
+            return _empty(_EMPTY_BATCH)
+        rows, gdf = self._fetch(sorted(all_terms))
+        kernel = make_batch_kernel(
+            per_query, self.manifest.total_docs, k, opts,
+            max(self.manifest.avgdl, 1e-9), round_to=round_to,
+            deleted_bc=self._tombstones(), static_df=gdf)
+        parts = [kernel((seg_id,), pd.DataFrame(rs))
+                 for seg_id, rs in self._by_segment(rows).items()]
+        parts = [p for p in parts if len(p)]
+        if not parts:
+            return _empty(_EMPTY_BATCH)
+        pdf = pd.concat(parts, ignore_index=True)
+        pdf = pdf.assign(score=pdf["raw_score"].round(round_to))
+        pdf = pdf.sort_values(["query_id", "score", "doc_id"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        pdf = pdf.groupby("query_id", group_keys=False).head(k)
+        return pdf[["query_id", "doc_id", "score"]].reset_index(drop=True)

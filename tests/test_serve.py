@@ -1,0 +1,114 @@
+"""Driver-local serving read path (index/serve.py): LocalSearcher must be
+result-identical to the Spark query path on the same artifacts — or/and/
+phrase modes, deletions, LSM appends (refresh), batches, LRU bounds."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_textsearch_spark.config import Bm25Options
+from pg_textsearch_spark.index.build import Bm25Index
+from pg_textsearch_spark.index.query import search_batch
+from pg_textsearch_spark.index.serve import LocalSearcher
+
+OPTS = Bm25Options(text_config="english", store_positions=True)
+
+WORDS = ["quick", "brown", "fox", "jumps", "lazy", "dog", "river", "stone",
+         "cloud", "ember"]
+
+
+def _text(i):
+    parts = [WORDS[(i * 7 + j * 3) % len(WORDS)] for j in range(3 + i % 9)]
+    if i % 11 == 0:
+        parts += ["quick", "brown", "fox"]
+    if i % 4 == 0:
+        parts += ["lazy", "dog"]
+    return " ".join(parts) + f" doc {i}"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame([(i, _text(i)) for i in range(1, 401)],
+                                 "id long, content string")
+
+
+@pytest.fixture(scope="module")
+def idx(spark, corpus, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("serve") / "idx")
+    return Bm25Index.build(spark, corpus, "content", path, id_col="id",
+                           opts=OPTS, num_segments=4)
+
+
+def spark_rows(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+def serve_rows(pdf):
+    return list(zip(pdf["doc_id"].tolist(), pdf["score"].tolist()))
+
+
+QUERIES = ["quick", "quick brown fox", "lazy dog river", "ember cloud",
+           "quick quick brown", "nosuchterm", "doc stone"]
+
+
+def test_serve_matches_spark_or(idx):
+    srv = LocalSearcher(idx.path)
+    for q in QUERIES:
+        assert serve_rows(srv.search(q, k=10)) == \
+            spark_rows(idx.search(q, k=10)), q
+
+
+def test_serve_matches_spark_and_phrase(idx):
+    srv = idx.serving()
+    for q in ["quick brown fox", "lazy dog"]:
+        assert serve_rows(srv.search(q, k=10, mode="and")) == \
+            spark_rows(idx.search(q, k=10, mode="and")), q
+        assert serve_rows(srv.search(q, k=10, mode="phrase")) == \
+            spark_rows(idx.search(q, k=10, mode="phrase")), q
+
+
+def test_serve_k_all_and_empty(idx):
+    srv = idx.serving()
+    assert serve_rows(srv.search("quick brown", k=None)) == \
+        spark_rows(idx.search("quick brown", k=None))
+    assert serve_rows(srv.search("quick", k="all")) == \
+        spark_rows(idx.search("quick", k="all"))
+    assert len(srv.search("", k=10)) == 0
+
+
+def test_serve_batch_matches_spark(idx):
+    srv = idx.serving()
+    qs = ["quick brown", "lazy dog river", "stone", "nosuchterm", "fox ember"]
+    got = srv.search_batch(qs, k=5)
+    want = search_batch(idx, qs, k=5).toPandas()
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+
+def test_serve_lru_bound_still_correct(idx):
+    srv = LocalSearcher(idx.path, cache_terms=1)
+    a = serve_rows(srv.search("quick brown fox", k=10))
+    b = serve_rows(srv.search("lazy dog", k=10))
+    assert a == spark_rows(idx.search("quick brown fox", k=10))
+    assert b == spark_rows(idx.search("lazy dog", k=10))
+    # re-query after eviction
+    assert serve_rows(srv.search("quick brown fox", k=10)) == a
+    assert len(srv._terms) <= 1
+
+
+def test_serve_sees_deletes_and_appends(spark, corpus, tmp_path):
+    path = str(tmp_path / "idx")
+    idx = Bm25Index.build(spark, corpus, "content", path, id_col="id",
+                          opts=OPTS, num_segments=3)
+    srv = idx.serving()
+    before = srv.search("quick brown", k=5)
+    victims = before["doc_id"].tolist()[:2]
+    idx.delete(victims)
+    after = srv.search("quick brown", k=5)   # tombstones, no manifest change
+    assert not set(victims) & set(after["doc_id"].tolist())
+    assert serve_rows(after) == spark_rows(idx.search("quick brown", k=5))
+
+    extra = spark.createDataFrame(
+        [(1000 + i, "quick brown fox quick brown fox") for i in range(5)],
+        "id long, content string")
+    idx.append(extra, "content", "id")       # manifest change -> refresh
+    got = srv.search("quick brown fox", k=10)
+    assert serve_rows(got) == spark_rows(idx.search("quick brown fox", k=10))
