@@ -356,6 +356,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_chunk_dups"] = lambda s, d: textstats.chunk_dup_stats(_docs(s, d))
     q["text_repetition"] = lambda s, d: textstats.repetition_stats(_docs(s, d))
 
+    def _decon(s, d):
+        # deterministic synthetic eval set: every 37th doc's text IS an
+        # eval example (classic train/test leakage); n=8 word-grams
+        from pg_textsearch_spark.operators.decontaminate import decontaminate
+        docs = _docs(s, d)
+        ev = (docs.filter(F.col("doc_id") % 37 == 0)
+              .select(F.col("doc_id").alias("eval_id"), "text"))
+        return decontaminate(docs, ev, n=8)
+    q["text_decontaminate"] = _decon
+
     # --- dedup ---
     q["dedup_exact"] = lambda s, d: dedup.exact_dedup(_docs(s, d))
     q["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
@@ -623,6 +633,11 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
     o["text_fingerprint"] = textstats.fingerprints_oracle_sql()
     o["text_chunk_dups"] = textstats.chunk_dup_stats_oracle_sql()
     o["text_repetition"] = textstats.repetition_stats_oracle_sql()
+    from pg_textsearch_spark.operators.decontaminate import (
+        decontaminate_oracle_sql)
+    o["text_decontaminate"] = decontaminate_oracle_sql(
+        "SELECT doc_id AS eval_id, text FROM documents WHERE doc_id % 37 = 0",
+        n=8)
 
     o["dedup_exact"] = dedup.exact_dedup_oracle_sql()
     o["dedup_ngram_jaccard"] = dedup.ngram_jaccard_pairs_oracle_sql(threshold=0.2)

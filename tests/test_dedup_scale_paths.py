@@ -215,3 +215,39 @@ def test_repetition_stats_hand_corpus(spark):
     odf = con.sql(textstats.repetition_stats_oracle_sql()).df()
     for _, r in odf.iterrows():
         assert got[int(r["doc_id"])] == tuple(int(r[c]) for c in cols)
+
+
+# ---------------------------------------------- benchmark decontamination
+
+def test_decontaminate_hand_corpus(spark):
+    import duckdb
+    from pg_textsearch_spark.operators.decontaminate import (
+        decontaminate, decontaminate_oracle_sql)
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "a completely different document with no overlap at all here"),
+         (3, "quick brown fox jumps over the lazy dog is a pangram piece"),
+         (4, "short doc")],                      # < n words: never flagged
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, "we ask whether the quick brown fox jumps over the lazy dog"),
+         (101, "no overlap at all here either but short")],
+        "eval_id long, text string")
+    got = {r["doc_id"]: (r["hit_ngrams"], r["eval_hits"])
+           for r in decontaminate(docs, ev, n=6).collect()}
+    # doc 1 shares 4 distinct 6-grams with eval 100 (sliding through
+    # "the quick brown fox jumps over the lazy dog"); doc 3 shares 3
+    # (its text starts at "quick"); docs 2/4 are clean
+    assert got == {1: (4, 1), 3: (3, 1)}
+
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    con.register("evals", ev.toPandas())
+    odf = con.sql(decontaminate_oracle_sql(
+        "SELECT eval_id, text FROM evals", n=6)).df()
+    assert {int(r["doc_id"]): (int(r["hit_ngrams"]), int(r["eval_hits"]))
+            for _, r in odf.iterrows()} == got
+
+    # 100 TB shape: the eval side must reach the join as a broadcast
+    plan = decontaminate(docs, ev, n=6)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
