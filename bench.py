@@ -167,6 +167,30 @@ def main() -> None:
     srv.search_batch(batch_qs, k=10)
     extra_serve["batch30_ms_per_query"] = round(
         (time.time() - t0) * 1000.0 / len(batch_qs), 3)
+    # ...and from ONE merged segment (the reference's shape after its
+    # leader-merge build: summary.md reports 1 L0 segment) — per-query cost
+    # is O(terms x segments), so serving replicas want compacted indexes
+    mpath = os.path.join(tempfile.gettempdir(), "pgts_bench_serve_merged")
+    if os.path.exists(mpath):
+        shutil.rmtree(mpath)
+    shutil.copytree(idx.path, mpath)
+    midx = Bm25Index(spark, mpath)
+    midx.force_merge()
+    msrv = midx.serving()
+    for q in batch_qs[:10]:
+        msrv.search(q, k=10)
+    t0 = time.time()
+    for _ in range(3):
+        for q in batch_qs[:10]:
+            msrv.search(q, k=10)
+    extra_serve["warm_ms_per_query_merged"] = round(
+        (time.time() - t0) * 100.0 / 3, 3)
+    t0 = time.time()
+    msrv.search_batch(batch_qs, k=10)
+    extra_serve["batch30_ms_per_query_merged"] = round(
+        (time.time() - t0) * 1000.0 / len(batch_qs), 3)
+    extra_serve["segments"] = {"unmerged": len(idx.manifest.segments),
+                               "merged": len(midx.manifest.segments)}
 
     # pipeline operators (single run each — these are batch jobs)
     queries["p1_minhash_pairs"] = timed(

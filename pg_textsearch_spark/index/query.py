@@ -395,8 +395,14 @@ def make_segment_kernel(qfreqs: dict[str, float], n_docs: int,
         empty = pd.DataFrame({c: pd.Series(dtype=spec[c]) for c in out_cols})
         if len(pdf) == 0:
             return empty
+        # Spark hands an Arrow-decoded pandas frame; the serving path
+        # (index/serve.py) hands a pre-sorted list of row dicts — frame
+        # construction + sort + to_dict were ~85% of warm point-query
+        # latency at 25 segments
+        recs = (pdf.sort_values(["term", "shard"]).to_dict("records")
+                if isinstance(pdf, pd.DataFrame) else pdf)
         per_term: dict[str, list[dict]] = {}
-        for rec in pdf.sort_values(["term", "shard"]).to_dict("records"):
+        for rec in recs:
             per_term.setdefault(rec["term"], []).append(rec)
 
         deleted = None
@@ -790,8 +796,10 @@ def make_batch_kernel(per_query: list[list[tuple[str, float]]], n_docs: int,
         # loop (src/scoring/bmw.c:1477-1716), grafted onto a shared decode
         # cache so the batch amortization is kept too.
         counters = {"decoded": 0}
+        recs = (pdf.sort_values(["term", "shard"]).to_dict("records")
+                if isinstance(pdf, pd.DataFrame) else pdf)
         per_term: dict[str, list[dict]] = {}
-        for rec in pdf.sort_values(["term", "shard"]).to_dict("records"):
+        for rec in recs:
             per_term.setdefault(rec["term"], []).append(rec)
         if static_df is not None:
             gdf = {t: int(static_df[t]) for t in per_term}

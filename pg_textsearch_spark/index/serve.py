@@ -138,10 +138,14 @@ class LocalSearcher:
 
     @staticmethod
     def _by_segment(rows: dict[str, list[dict]]) -> dict[str, list[dict]]:
+        """Per-segment record lists, (term, shard)-sorted — the kernels'
+        list fast path (no pandas frame per segment per query)."""
         by_seg: dict[str, list[dict]] = {}
         for rws in rows.values():
             for r in rws:
                 by_seg.setdefault(r["segment_id"], []).append(r)
+        for rs in by_seg.values():
+            rs.sort(key=lambda r: (r["term"], r["shard"]))
         return by_seg
 
     # -- queries --------------------------------------------------------
@@ -176,7 +180,7 @@ class LocalSearcher:
             max(self.manifest.avgdl, 1e-9), mode, phrase_occs,
             deleted_bc=self._tombstones(), static_df=gdf,
             round_to=round_to)
-        parts = [kernel((seg_id,), pd.DataFrame(rs))
+        parts = [kernel((seg_id,), rs)
                  for seg_id, rs in self._by_segment(rows).items()]
         parts = [p for p in parts if len(p)]
         if not parts:
@@ -204,7 +208,7 @@ class LocalSearcher:
             per_query, self.manifest.total_docs, k, opts,
             max(self.manifest.avgdl, 1e-9), round_to=round_to,
             deleted_bc=self._tombstones(), static_df=gdf)
-        parts = [kernel((seg_id,), pd.DataFrame(rs))
+        parts = [kernel((seg_id,), rs)
                  for seg_id, rs in self._by_segment(rows).items()]
         parts = [p for p in parts if len(p)]
         if not parts:
