@@ -285,6 +285,32 @@ WHERE rank <= 10 ORDER BY query_id, rank
         dt = time.time() - t0
         buckets[qlen] = (len(qs), dt, 1000.0 * dt / len(qs))
 
+    # ------------------------------------------- serving read path parity
+    print("== serve: LocalSearcher parity + latency", flush=True)
+    srv = idx.serving()
+    ordered_qs = [nonempty[i] for i in sorted(nonempty)]
+    sgot = srv.search_batch(ordered_qs, k=10)
+    sgot["query_id"] = sgot["query_id"].map(qid_remap)
+
+    def _tuples(df):
+        return list(zip(df["query_id"].astype(int),
+                        df["doc_id"].astype(int),
+                        df["score"].round(4)))
+
+    serve_identical = _tuples(sgot) == _tuples(got)
+    sq = ordered_qs[:60]
+    for q in sq[:10]:
+        srv.search(q, k=10)
+    t0 = time.time()
+    for q in sq:
+        srv.search(q, k=10)
+    serve_ms = 1000.0 * (time.time() - t0) / len(sq)
+    t0 = time.time()
+    srv.search_batch(ordered_qs, k=10)
+    serve_batch_ms = 1000.0 * (time.time() - t0) / len(ordered_qs)
+    print(f"   identical={serve_identical}  single {serve_ms:.1f} ms/q  "
+          f"batch {serve_batch_ms:.2f} ms/q", flush=True)
+
     # ------------------------------------------------ BMW prune counters
     bmw = {}
     for name, q in (("hot_single", build_vocab()[0]),
@@ -321,6 +347,15 @@ WHERE rank <= 10 ORDER BY query_id, rank
         "",
         f"batch of all {n_q} queries in one job: {t_batch_all:.2f}s "
         f"({1000 * t_batch_all / n_q:.1f} ms/query)",
+        "",
+        "## Serving read path (index/serve.py, no Spark job)",
+        "",
+        f"- all {n_q} queries through LocalSearcher.search_batch: "
+        f"result-identical to the Spark engine = **{serve_identical}**",
+        f"- warm single-query: **{serve_ms:.1f} ms/query** "
+        f"(reference single-client band: 5-178 ms, BASELINE.md)",
+        f"- batched: **{serve_batch_ms:.2f} ms/query** "
+        f"(reference single-client batch: 62.9 ms/query)",
         "",
         "## Block-Max pruning (blocks decoded / total, k=10)",
         "",
