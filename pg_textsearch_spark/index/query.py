@@ -233,6 +233,32 @@ class _TermReader:
         return out
 
 
+def _readers_for(per_term: dict, seg_id: str, block_size: int, codec: str,
+                 denom_norm: np.ndarray, k1: float, deleted, counters: dict,
+                 reader_cache: dict | None) -> dict:
+    """One _TermReader per term — from ``reader_cache`` (keyed by
+    (segment_id, term)) when the serving path supplies one, so decoded
+    blocks persist ACROSS queries (the caller owns invalidation: the
+    cache must be cleared on manifest reload or tombstone change, since
+    readers mask deletions at decode time). In-Spark kernels pass None —
+    executors already share decodes within a batch via the reader itself."""
+    if reader_cache is None:
+        return {t: _TermReader(rows_, block_size, codec, denom_norm, k1,
+                               deleted, counters)
+                for t, rows_ in per_term.items()}
+    out = {}
+    for t, rows_ in per_term.items():
+        r = reader_cache.get((seg_id, t))
+        if r is None:
+            r = _TermReader(rows_, block_size, codec, denom_norm, k1,
+                            deleted, counters)
+            reader_cache[(seg_id, t)] = r
+        else:
+            r.counters = counters   # per-query profile counters rebind
+        out[t] = r
+    return out
+
+
 def _accumulate(id_parts: list, sc_parts: list):
     all_ids = np.concatenate(id_parts)
     all_sc = np.concatenate(sc_parts)
@@ -356,7 +382,7 @@ def make_segment_kernel(qfreqs: dict[str, float], n_docs: int,
                         mode: str, phrase_occs: list[tuple[str, int]] | None,
                         deleted_bc=None, static_df: dict[str, int] | None = None,
                         round_to: int = 4, profile: bool = False,
-                        df_accum=None):
+                        df_accum=None, reader_cache: dict | None = None):
     """Build the applyInPandas kernel. ``qfreqs``: term -> query frequency.
 
     IDFs are computed inside the kernel from the ``gdf`` column (global
@@ -386,21 +412,32 @@ def make_segment_kernel(qfreqs: dict[str, float], n_docs: int,
         out_cols += ["segment_id", "blocks_decoded", "blocks_total",
                      "pos_blocks_decoded", "pos_blocks_total"]
 
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(key, pdf) -> "pd.DataFrame | tuple":
         seg_id = str(key[0])
         spec = {"doc_id": "int64", "raw_score": "float64", "n_terms": "int32",
                 "segment_id": "object", "blocks_decoded": "int64",
                 "blocks_total": "int64", "pos_blocks_decoded": "int64",
                 "pos_blocks_total": "int64"}
-        empty = pd.DataFrame({c: pd.Series(dtype=spec[c]) for c in out_cols})
-        if len(pdf) == 0:
-            return empty
         # Spark hands an Arrow-decoded pandas frame; the serving path
-        # (index/serve.py) hands a pre-sorted list of row dicts — frame
-        # construction + sort + to_dict were ~85% of warm point-query
-        # latency at 25 segments
-        recs = (pdf.sort_values(["term", "shard"]).to_dict("records")
-                if isinstance(pdf, pd.DataFrame) else pdf)
+        # (index/serve.py) hands a pre-sorted list of row dicts AND gets
+        # back raw (doc_ids, scores) arrays — per-segment frame
+        # construction on BOTH sides was the bulk of warm point-query
+        # latency (pandas in 85%, pandas out most of the rest)
+        as_arrays = not isinstance(pdf, pd.DataFrame)
+        if as_arrays and profile:
+            raise ValueError("array fast path does not carry profile "
+                             "columns — use the DataFrame path")
+        empty_pair = (np.empty(0, dtype=np.int64),
+                      np.empty(0, dtype=np.float64))
+
+        def empty_frame(cols=None):
+            return pd.DataFrame({c: pd.Series(dtype=spec[c])
+                                 for c in (cols or out_cols)})
+
+        if len(pdf) == 0:
+            return empty_pair if as_arrays else empty_frame()
+        recs = pdf if as_arrays else \
+            pdf.sort_values(["term", "shard"]).to_dict("records")
         per_term: dict[str, list[dict]] = {}
         for rec in recs:
             per_term.setdefault(rec["term"], []).append(rec)
@@ -514,13 +551,13 @@ def make_segment_kernel(qfreqs: dict[str, float], n_docs: int,
         if can_prune:
             # MaxScore + block-max over lazily-decoded readers (shared
             # implementation with search_batch — _run_maxscore)
-            readers = {t: _TermReader(rows_, opts.block_size, opts.codec,
-                                      denom_norm, k1, deleted, counters)
-                       for t, rows_ in per_term.items()}
+            readers = _readers_for(per_term, seg_id, opts.block_size,
+                                   opts.codec, denom_norm, k1, deleted,
+                                   counters, reader_cache)
             res = _run_maxscore(readers, weights, k, eps)
             if res is None:
-                return finish(empty[["doc_id", "raw_score", "n_terms"]]
-                              if profile else empty)
+                return empty_pair if as_arrays else finish(
+                    empty_frame(["doc_id", "raw_score", "n_terms"]))
             uniq, scores, counts = res
         else:
             # exhaustive accumulation ('and' needs exact per-doc term
@@ -543,8 +580,8 @@ def make_segment_kernel(qfreqs: dict[str, float], n_docs: int,
                 sc_parts.append(contrib)
                 decoded_ids[t] = ids
             if not id_parts or not any(a.size for a in id_parts):
-                return finish(empty[["doc_id", "raw_score", "n_terms"]]
-                              if profile else empty)
+                return empty_pair if as_arrays else finish(
+                    empty_frame(["doc_id", "raw_score", "n_terms"]))
             uniq, scores, counts = _accumulate(id_parts, sc_parts)
             keep = np.ones(uniq.size, dtype=bool)
             if mode == "and":
@@ -574,6 +611,8 @@ def make_segment_kernel(qfreqs: dict[str, float], n_docs: int,
             # k-boundary cut can never disagree across rounding ties
             sel = np.lexsort((uniq, -np.round(scores, round_to)))[:k]
             uniq, scores, counts = uniq[sel], scores[sel], counts[sel]
+        if as_arrays:
+            return uniq.astype(np.int64), scores
         out = pd.DataFrame({"doc_id": uniq.astype(np.int64),
                             "raw_score": scores,
                             "n_terms": counts.astype(np.int32)})
@@ -763,7 +802,8 @@ def search_profiled(index: "Bm25Index", query: str, k: int | None | str = 10,
 def make_batch_kernel(per_query: list[list[tuple[str, float]]], n_docs: int,
                       k: int, opts: Bm25Options, avgdl: float,
                       round_to: int = 4, profile: bool = False,
-                      deleted_bc=None, static_df: dict[str, int] | None = None):
+                      deleted_bc=None, static_df: dict[str, int] | None = None,
+                      reader_cache: dict | None = None):
     """Build the per-segment batched-retrieval kernel (shared by the Spark
     ``search_batch`` path and the driver-local serving path). ``per_query``:
     tokenized (term, qfreq) lists. Global doc_freq comes from ``static_df``
@@ -778,8 +818,12 @@ def make_batch_kernel(per_query: list[list[tuple[str, float]]], n_docs: int,
     norm_len = DECODE_TABLE.astype(np.float64)
     denom_norm = k1 * (1.0 - b + b * norm_len / avgdl)
 
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(key, pdf) -> "pd.DataFrame | tuple":
         seg_id = str(key[0])
+        as_arrays = not isinstance(pdf, pd.DataFrame)   # serving fast path
+        if as_arrays and profile:
+            raise ValueError("array fast path does not carry profile "
+                             "columns — use the DataFrame path")
         empty_cols = {"query_id": np.empty(0, np.int32),
                       "doc_id": np.empty(0, np.int64),
                       "raw_score": np.empty(0, np.float64)}
@@ -807,9 +851,9 @@ def make_batch_kernel(per_query: list[list[tuple[str, float]]], n_docs: int,
             gdf = {t: int(rows_[0]["gdf"]) for t, rows_ in per_term.items()}
         blocks_total = sum(int(r["num_blocks"])
                            for rows_ in per_term.values() for r in rows_)
-        readers = {t: _TermReader(rows_, block_size, codec, denom_norm, k1,
-                                  deleted, counters)
-                   for t, rows_ in per_term.items()}
+        readers = _readers_for(per_term, seg_id, block_size, codec,
+                               denom_norm, k1, deleted, counters,
+                               reader_cache)
 
         out_q, out_id, out_sc = [], [], []
         for qi, qterms in enumerate(per_query):
@@ -829,6 +873,12 @@ def make_batch_kernel(per_query: list[list[tuple[str, float]]], n_docs: int,
             out_q.append(np.full(uniq.size, qi, dtype=np.int32))
             out_id.append(uniq)
             out_sc.append(scores)
+        if as_arrays:
+            if out_q:
+                return (np.concatenate(out_q), np.concatenate(out_id),
+                        np.concatenate(out_sc))
+            return (empty_cols["query_id"], empty_cols["doc_id"],
+                    empty_cols["raw_score"])
         if out_q:
             out = pd.DataFrame({"query_id": np.concatenate(out_q),
                                 "doc_id": np.concatenate(out_id),

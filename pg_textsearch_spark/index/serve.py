@@ -35,6 +35,7 @@ from __future__ import annotations
 import os
 from collections import OrderedDict
 
+import numpy as np
 import pandas as pd
 
 from .build import POSTINGS_DIR
@@ -72,6 +73,11 @@ class LocalSearcher:
             os.path.join(self.path, MANIFEST_NAME))
         self._terms: OrderedDict[str, list[dict]] = OrderedDict()
         self._gdf: dict[str, int] = {}
+        # decoded-posting readers persist ACROSS queries (keyed
+        # (segment_id, term)); lifetime is tied to the term LRU and the
+        # tombstone snapshot — readers mask deletions at decode time, so
+        # any tombstone change drops them all
+        self._readers: dict = {}
         self._tomb_key = None
         self._tomb = None
 
@@ -99,6 +105,7 @@ class LocalSearcher:
             # deletes_by_segment needs only .path and .manifest
             self._tomb = deletes_by_segment(self)
             self._tomb_key = key
+            self._readers.clear()   # cached decodes masked old tombstones
         return self._tomb
 
     def _fetch(self, terms: list[str]) -> dict[str, list[dict]]:
@@ -134,6 +141,8 @@ class LocalSearcher:
         while len(self._terms) > self.cache_terms:
             old, _ = self._terms.popitem(last=False)
             self._gdf.pop(old, None)
+            for rk in [rk for rk in self._readers if rk[1] == old]:
+                del self._readers[rk]
         return out, gdf
 
     @staticmethod
@@ -175,23 +184,24 @@ class LocalSearcher:
             phrase_occs = [(t, p - base) for t, p in occ]
 
         rows, gdf = self._fetch(terms)
+        tomb = self._tombstones()   # may clear self._readers — call first
         kernel = make_segment_kernel(
             qfreqs, self.manifest.total_docs, k, opts,
             max(self.manifest.avgdl, 1e-9), mode, phrase_occs,
-            deleted_bc=self._tombstones(), static_df=gdf,
-            round_to=round_to)
+            deleted_bc=tomb, static_df=gdf,
+            round_to=round_to, reader_cache=self._readers)
         parts = [kernel((seg_id,), rs)
                  for seg_id, rs in self._by_segment(rows).items()]
-        parts = [p for p in parts if len(p)]
-        if not parts:
+        ids_l = [p[0] for p in parts if p[0].size]
+        if not ids_l:
             return _empty(_EMPTY)
-        pdf = pd.concat(parts, ignore_index=True)
-        pdf = pdf.assign(score=pdf["raw_score"].round(round_to))
-        pdf = pdf.sort_values(["score", "doc_id"], ascending=[False, True],
-                              kind="mergesort")
+        ids = np.concatenate(ids_l)
+        sc = np.round(np.concatenate([p[1] for p in parts if p[0].size]),
+                      round_to)
+        order = np.lexsort((ids, -sc))      # score DESC, doc_id ASC
         if k is not None:
-            pdf = pdf.head(k)
-        return pdf[["doc_id", "score"]].reset_index(drop=True)
+            order = order[:k]
+        return pd.DataFrame({"doc_id": ids[order], "score": sc[order]})
 
     def search_batch(self, queries: list[str], k: int = 10,
                      round_to: int = 4) -> pd.DataFrame:
@@ -204,19 +214,26 @@ class LocalSearcher:
         if not all_terms:
             return _empty(_EMPTY_BATCH)
         rows, gdf = self._fetch(sorted(all_terms))
+        tomb = self._tombstones()   # may clear self._readers — call first
         kernel = make_batch_kernel(
             per_query, self.manifest.total_docs, k, opts,
             max(self.manifest.avgdl, 1e-9), round_to=round_to,
-            deleted_bc=self._tombstones(), static_df=gdf)
+            deleted_bc=tomb, static_df=gdf, reader_cache=self._readers)
         parts = [kernel((seg_id,), rs)
                  for seg_id, rs in self._by_segment(rows).items()]
-        parts = [p for p in parts if len(p)]
+        parts = [p for p in parts if p[0].size]
         if not parts:
             return _empty(_EMPTY_BATCH)
-        pdf = pd.concat(parts, ignore_index=True)
-        pdf = pdf.assign(score=pdf["raw_score"].round(round_to))
-        pdf = pdf.sort_values(["query_id", "score", "doc_id"],
-                              ascending=[True, False, True],
-                              kind="mergesort")
-        pdf = pdf.groupby("query_id", group_keys=False).head(k)
-        return pdf[["query_id", "doc_id", "score"]].reset_index(drop=True)
+        qid = np.concatenate([p[0] for p in parts])
+        ids = np.concatenate([p[1] for p in parts])
+        sc = np.round(np.concatenate([p[2] for p in parts]), round_to)
+        o = np.lexsort((ids, -sc, qid))     # qid ASC, score DESC, doc ASC
+        qid, ids, sc = qid[o], ids[o], sc[o]
+        # per-query head(k): rank within each qid run of the sorted arrays
+        starts = np.zeros(qid.size, dtype=np.int64)
+        starts[np.r_[0, np.flatnonzero(np.diff(qid)) + 1]] = 1
+        run_start = np.maximum.accumulate(
+            np.where(starts == 1, np.arange(qid.size), 0))
+        keep = (np.arange(qid.size) - run_start) < k
+        return pd.DataFrame({"query_id": qid[keep], "doc_id": ids[keep],
+                             "score": sc[keep]})
