@@ -38,7 +38,7 @@ from collections import OrderedDict
 import numpy as np
 import pandas as pd
 
-from .build import POSTINGS_DIR
+from .build import DOCS_DIR, POSTINGS_DIR
 from .delete import DELETES_DIR, deletes_by_segment
 from .manifest import MANIFEST_NAME, Manifest
 from .query import (_resolve_k, make_batch_kernel, make_segment_kernel,
@@ -156,6 +156,43 @@ class LocalSearcher:
         for rs in by_seg.values():
             rs.sort(key=lambda r: (r["term"], r["shard"]))
         return by_seg
+
+    def resolve(self, results: pd.DataFrame,
+                cols: tuple[str, ...] = ("source_id",)) -> pd.DataFrame:
+        """Attach docmap columns (default: the original ``source_id``) to
+        a result frame keyed by internal doc_id — the serving analogue of
+        ``Bm25Index.resolve``. Reads ONLY the docmaps of segments whose
+        doc-id range intersects the results (top-k ids usually hit one or
+        two segments), then re-applies the public ordering contract
+        (score DESC, source_id ASC) like the Spark path."""
+        import pyarrow.dataset as pds
+        out = results.reset_index(drop=True)
+        if not len(out):
+            return out
+        ids = out["doc_id"].tolist()
+        lo, hi = min(ids), max(ids)
+        dirs = [os.path.join(self.manifest.segment_dir(s.segment_id),
+                             DOCS_DIR)
+                for s in self.manifest.segments
+                if not (s.max_doc_id < lo or s.min_doc_id > hi)]
+        files = [os.path.join(d, f) for d in dirs
+                 for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+        data = pds.dataset(files)
+        avail = set(data.schema.names)
+        want = [c for c in cols if c in avail and c != "doc_id"]
+        if "source_id" in cols and "source_id" not in avail:
+            out["source_id"] = out["doc_id"]   # identity-layout build
+        if want:
+            tbl = data.to_table(columns=["doc_id"] + want,
+                                filter=pds.field("doc_id").isin(ids))
+            out = out.merge(tbl.to_pandas(), on="doc_id", how="left")
+        if "score" in out.columns and "source_id" in out.columns:
+            pre = ["query_id"] if "query_id" in out.columns else []
+            out = out.sort_values(
+                pre + ["score", "source_id"],
+                ascending=[True] * len(pre) + [False, True],
+                kind="mergesort").reset_index(drop=True)
+        return out
 
     # -- queries --------------------------------------------------------
     def search(self, query: str, k: int | None | str = 10, mode: str = "or",

@@ -112,3 +112,23 @@ def test_serve_sees_deletes_and_appends(spark, corpus, tmp_path):
     idx.append(extra, "content", "id")       # manifest change -> refresh
     got = srv.search("quick brown fox", k=10)
     assert serve_rows(got) == spark_rows(idx.search("quick brown fox", k=10))
+
+
+def test_serve_resolve_matches_spark(spark, corpus, tmp_path):
+    from pg_textsearch_spark.config import Bm25Options
+    path = str(tmp_path / "idx")
+    idx = Bm25Index.build(spark, corpus, "content", path, id_col="id",
+                          opts=Bm25Options(text_config="english",
+                                           reorder_docs="length"),
+                          num_segments=3)
+    srv = idx.serving()
+    got = srv.resolve(srv.search("quick brown fox", k=10))
+    want = idx.resolve(idx.search("quick brown fox", k=10)).toPandas()
+    assert list(zip(got["source_id"], got["score"])) == \
+        list(zip(want["source_id"], want["score"]))
+    # identity-layout build: source_id == doc_id synthesized
+    plain = Bm25Index.build(spark, corpus, "content", str(tmp_path / "idx2"),
+                            id_col="id", opts=OPTS, num_segments=2)
+    s2 = plain.serving()
+    r = s2.resolve(s2.search("quick", k=5))
+    assert (r["source_id"] == r["doc_id"]).all()
