@@ -271,7 +271,7 @@ def _accumulate(id_parts: list, sc_parts: list):
 
 
 def _run_maxscore(readers: dict[str, _TermReader], weights: dict[str, float],
-                  k: int | None, eps: float):
+                  k: int | None, eps: float, init_kth: float = 0.0):
     """Exact MaxScore + block-max top-k over lazily-decoded term readers.
 
     The engine's BMW core (reference src/scoring/bmw.c:469-642 single-term,
@@ -289,10 +289,23 @@ def _run_maxscore(readers: dict[str, _TermReader], weights: dict[str, float],
     All thresholds carry ``eps`` slack so pruning never disturbs ties at
     the ROUNDED-score boundary. Returns (uniq_ids, scores, partial_counts)
     or None when no postings survive.
+
+    ``init_kth`` seeds the pruning threshold with a kth score already
+    known to be achieved elsewhere (the serving path's running global
+    top-k across its sequential per-segment loop — the reference's
+    cross-segment cursor, src/scoring/bmw.c:1477-1716, where one heap
+    spans the whole scan). Docs provably below it can never enter the
+    global top-k, so whole segments whose summed bounds fall short skip
+    without decoding a block. The CALLER must cut the merged results at
+    the true global top-k: returned scores below ``init_kth - eps`` may
+    be partial (standard MaxScore invariant — an under-scored doc is
+    provably below the threshold that skipped its blocks).
     """
     bounds = {t: weights[t] * r.max_unit_bound for t, r in readers.items()}
     order = sorted(readers, key=lambda t: (-bounds[t], t))
     total_bound = sum(bounds.values())
+    if k is not None and init_kth > 0.0 and total_bound < init_kth - eps:
+        return None
     id_parts, sc_parts = [], []
     uniq = scores = counts = None
     nonessential_from = len(order)
@@ -315,11 +328,14 @@ def _run_maxscore(readers: dict[str, _TermReader], weights: dict[str, float],
                     n_seen += ids.size
                 pos += take
                 batch = min(batch * 2, 1024)
-                if pos >= total or k is None or n_seen < k:
+                if pos >= total or k is None:
                     continue
-                allc = np.concatenate(sc_p)
-                kth = np.partition(allc, allc.size - k)[allc.size - k]
-                if w * fb[bo[pos]] + other < kth - eps:
+                kth = init_kth
+                if n_seen >= k:
+                    allc = np.concatenate(sc_p)
+                    kth = max(kth, np.partition(allc,
+                                                allc.size - k)[allc.size - k])
+                if kth > 0.0 and w * fb[bo[pos]] + other < kth - eps:
                     break
             if ids_p:
                 id_parts.append(np.concatenate(ids_p))
@@ -331,13 +347,14 @@ def _run_maxscore(readers: dict[str, _TermReader], weights: dict[str, float],
                 u = np.empty(0, dtype=np.int64)
                 sc = np.empty(0, dtype=np.float64)
                 cn = np.empty(0, dtype=np.int64)
-            kth = None
+            kth = init_kth if (k is not None and init_kth > 0.0) else None
             if k is not None and sc.size >= k:
-                kth = np.partition(sc, sc.size - k)[sc.size - k]
-                if remaining < kth - eps:
-                    uniq, scores, counts = u, sc, cn
-                    nonessential_from = i
-                    break
+                kl = np.partition(sc, sc.size - k)[sc.size - k]
+                kth = kl if kth is None else max(kth, kl)
+            if kth is not None and remaining < kth - eps:
+                uniq, scores, counts = u, sc, cn
+                nonessential_from = i
+                break
             if kth is None:
                 sel = np.arange(rd.n_blocks, dtype=np.int64)
             else:
@@ -355,7 +372,10 @@ def _run_maxscore(readers: dict[str, _TermReader], weights: dict[str, float],
     if nonessential_from < len(order):
         rem_terms = order[nonessential_from:]
         rem_bound = sum(bounds[t] for t in rem_terms)
-        kth = np.partition(scores, scores.size - k)[scores.size - k]
+        kth = init_kth
+        if scores.size >= k:
+            kth = max(kth, np.partition(scores,
+                                        scores.size - k)[scores.size - k])
         cand_mask = scores + rem_bound >= kth - eps
         cand_ids = uniq[cand_mask]
         for t in rem_terms:
@@ -382,7 +402,8 @@ def make_segment_kernel(qfreqs: dict[str, float], n_docs: int,
                         mode: str, phrase_occs: list[tuple[str, int]] | None,
                         deleted_bc=None, static_df: dict[str, int] | None = None,
                         round_to: int = 4, profile: bool = False,
-                        df_accum=None, reader_cache: dict | None = None):
+                        df_accum=None, reader_cache: dict | None = None,
+                        shared_topk: dict | None = None):
     """Build the applyInPandas kernel. ``qfreqs``: term -> query frequency.
 
     IDFs are computed inside the kernel from the ``gdf`` column (global
@@ -554,7 +575,11 @@ def make_segment_kernel(qfreqs: dict[str, float], n_docs: int,
             readers = _readers_for(per_term, seg_id, opts.block_size,
                                    opts.codec, denom_norm, k1, deleted,
                                    counters, reader_cache)
-            res = _run_maxscore(readers, weights, k, eps)
+            # the serving loop threads its running global kth through
+            # shared_topk so later segments prune against it (and whole
+            # segments skip); Spark kernels run in parallel — None there
+            res = _run_maxscore(readers, weights, k, eps,
+                                init_kth=(shared_topk or {}).get("kth", 0.0))
             if res is None:
                 return empty_pair if as_arrays else finish(
                     empty_frame(["doc_id", "raw_score", "n_terms"]))
@@ -608,8 +633,16 @@ def make_segment_kernel(qfreqs: dict[str, float], n_docs: int,
         if k is not None and uniq.size > k:
             # local top-k with (ROUNDED score desc, doc_id asc) tie order —
             # the same ordering the global stage and the oracle use, so the
-            # k-boundary cut can never disagree across rounding ties
-            sel = np.lexsort((uniq, -np.round(scores, round_to)))[:k]
+            # k-boundary cut can never disagree across rounding ties.
+            # Pre-cut with an O(n) partition (keeping ALL rounded-score
+            # ties at the boundary) so the lexsort runs over ~k rows, not
+            # the full candidate set
+            rs = np.round(scores, round_to)
+            if uniq.size > 4 * k:
+                cut = np.partition(rs, rs.size - k)[rs.size - k]
+                m = rs >= cut
+                uniq, scores, counts, rs = uniq[m], scores[m], counts[m], rs[m]
+            sel = np.lexsort((uniq, -rs))[:k]
             uniq, scores, counts = uniq[sel], scores[sel], counts[sel]
         if as_arrays:
             return uniq.astype(np.int64), scores

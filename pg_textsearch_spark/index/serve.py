@@ -222,19 +222,34 @@ class LocalSearcher:
 
         rows, gdf = self._fetch(terms)
         tomb = self._tombstones()   # may clear self._readers — call first
+        # sequential per-segment loop with a RUNNING global kth threaded
+        # into MaxScore: once k docs are banked, later segments prune
+        # against the global bar (whole segments skip when their bounds
+        # fall short) — the reference's single cross-scan heap
+        state = {"kth": 0.0}
         kernel = make_segment_kernel(
             qfreqs, self.manifest.total_docs, k, opts,
             max(self.manifest.avgdl, 1e-9), mode, phrase_occs,
             deleted_bc=tomb, static_df=gdf,
-            round_to=round_to, reader_cache=self._readers)
-        parts = [kernel((seg_id,), rs)
-                 for seg_id, rs in self._by_segment(rows).items()]
-        ids_l = [p[0] for p in parts if p[0].size]
+            round_to=round_to, reader_cache=self._readers,
+            shared_topk=state)
+        ids_l, sc_l = [], []
+        n_banked = 0
+        for seg_id, rs in self._by_segment(rows).items():
+            uniq, scores = kernel((seg_id,), rs)
+            if not uniq.size:
+                continue
+            ids_l.append(uniq)
+            sc_l.append(scores)
+            n_banked += uniq.size
+            if k is not None and n_banked >= k:
+                allsc = sc_l[0] if len(sc_l) == 1 else np.concatenate(sc_l)
+                state["kth"] = float(
+                    np.partition(allsc, allsc.size - k)[allsc.size - k])
         if not ids_l:
             return _empty(_EMPTY)
         ids = np.concatenate(ids_l)
-        sc = np.round(np.concatenate([p[1] for p in parts if p[0].size]),
-                      round_to)
+        sc = np.round(np.concatenate(sc_l), round_to)
         order = np.lexsort((ids, -sc))      # score DESC, doc_id ASC
         if k is not None:
             order = order[:k]
