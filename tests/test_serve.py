@@ -132,3 +132,27 @@ def test_serve_resolve_matches_spark(spark, corpus, tmp_path):
     s2 = plain.serving()
     r = s2.resolve(s2.search("quick", k=5))
     assert (r["source_id"] == r["doc_id"]).all()
+
+
+def test_threshold_seeding_skips_and_preserves_results(idx):
+    from pg_textsearch_spark.index.query import make_segment_kernel
+    srv = idx.serving()
+    q = "quick brown fox"
+    want = serve_rows(srv.search(q, k=10))
+    # a seeded kth above any achievable score makes every segment return
+    # empty WITHOUT decoding (the whole-segment skip in _run_maxscore)
+    opts = srv.manifest.opts
+    from pg_textsearch_spark.functions.tokenizer import tokenize_query
+    qf = {t: float(f) for t, f in tokenize_query(q, opts.text_config)}
+    rows, gdf = srv._fetch(list(qf))
+    kernel = make_segment_kernel(
+        qf, srv.manifest.total_docs, 10, opts,
+        max(srv.manifest.avgdl, 1e-9), "or", None,
+        static_df=gdf, shared_topk={"kth": 1e9})
+    for seg_id, rs in srv._by_segment(rows).items():
+        uniq, _ = kernel((seg_id,), rs)
+        assert uniq.size == 0
+    # and the real sequential loop (which seeds with the RUNNING kth)
+    # still returns exactly the Spark path's results
+    assert serve_rows(srv.search(q, k=10)) == want == \
+        spark_rows(idx.search(q, k=10))
