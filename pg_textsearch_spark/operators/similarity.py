@@ -469,3 +469,149 @@ class IvfIndex:
                 .select("query_id", F.col("rank").cast("long").alias("rank"),
                         "vec_id", F.round("cos", 4).alias("cos"))
                 .orderBy("query_id", "rank"))
+
+    def serving(self, cache_buckets: int = 64) -> "LocalAnnSearcher":
+        """Driver-local ANN serving over this index's artifacts — point
+        lookups in milliseconds, no Spark job (the IVF counterpart of
+        Bm25Index.serving())."""
+        return LocalAnnSearcher(self.path, cache_buckets=cache_buckets)
+
+
+class LocalAnnSearcher:
+    """Serve IVF ANN queries from a built IvfIndex directory, in-process.
+
+    The artifacts are plain parquet (broadcastable centroids +
+    ``cent_id=N`` partition directories), so a serving replica probes
+    with numpy: centroid scan is O(n_centroids x dim), then ONLY the
+    nprobe bucket directories are read (same pruning the Spark path gets
+    from partition discovery), each cached as a dense float64 matrix in
+    a bounded LRU. Result contract, tie rules and rounding are pinned
+    identical to ``IvfIndex.search_ids`` in tests/test_serve.py.
+    """
+
+    def __init__(self, path: str, cache_buckets: int = 64):
+        import json as _json
+        import os as _os
+        self.path = path
+        self.cache_buckets = int(cache_buckets)
+        with open(_os.path.join(path, "ivf_manifest.json")) as f:
+            self.meta = _json.load(f)
+        import numpy as np
+        import pyarrow.dataset as pds
+        cdir = _os.path.join(path, "centroids")
+        ct = pds.dataset([_os.path.join(cdir, f)
+                          for f in sorted(_os.listdir(cdir))
+                          if f.endswith(".parquet")]).to_table()
+        order = np.argsort(ct["cent_id"].to_numpy())
+        self.cent_ids = ct["cent_id"].to_numpy()[order]
+        self.cents = np.vstack([np.asarray(x, dtype=np.float64)
+                                for x in ct["cv"].to_pylist()])[order]
+        self.cent_norms = ct["cn"].to_numpy()[order]
+        self._buckets: "OrderedDict[int, tuple]" = __import__(
+            "collections").OrderedDict()
+        # id -> bucket directory map (ids-only columnar scan; 16 B/vector)
+        bdir = _os.path.join(path, "buckets")
+        self._id_bucket = {}
+        for d in sorted(_os.listdir(bdir)):
+            if not d.startswith("cent_id="):
+                continue
+            cid = int(d.split("=", 1)[1])
+            files = [_os.path.join(bdir, d, f)
+                     for f in sorted(_os.listdir(_os.path.join(bdir, d)))
+                     if f.endswith(".parquet")]
+            ids = pds.dataset(files).to_table(columns=["vec_id"])
+            for i in ids["vec_id"].to_numpy():
+                self._id_bucket[int(i)] = cid
+        self._tomb_mtime = None
+        self._tomb: set[int] = set()
+
+    def _bucket(self, cid: int):
+        """(vec_ids, matrix, norms) for one bucket, LRU-cached."""
+        import os as _os
+        import numpy as np
+        import pyarrow.dataset as pds
+        got = self._buckets.get(cid)
+        if got is not None:
+            self._buckets.move_to_end(cid)
+            return got
+        d = _os.path.join(self.path, "buckets", f"cent_id={cid}")
+        t = pds.dataset([_os.path.join(d, f) for f in sorted(_os.listdir(d))
+                         if f.endswith(".parquet")]).to_table()
+        ids = t["vec_id"].to_numpy()
+        mat = np.vstack([np.asarray(x, dtype=np.float64)
+                         for x in t["v"].to_pylist()])
+        nrm = t["nrm"].to_numpy()
+        order = np.argsort(ids)
+        got = (ids[order], mat[order], nrm[order])
+        self._buckets[cid] = got
+        while len(self._buckets) > self.cache_buckets:
+            self._buckets.popitem(last=False)
+        return got
+
+    def _tombstones(self) -> set:
+        import json as _json
+        import os as _os
+        p = _os.path.join(self.path, "tombstones.json")
+        mt = _os.path.getmtime(p) if _os.path.exists(p) else None
+        if mt != self._tomb_mtime:
+            self._tomb = set(_json.load(open(p))) if mt else set()
+            self._tomb_mtime = mt
+        return self._tomb
+
+    def search_vector(self, qv, k: int = 5, nprobe: int = 2,
+                      exclude_ids: tuple = ()) -> "pd.DataFrame":
+        """Top-k cosine neighbors of an arbitrary query vector:
+        (rank, vec_id, cos), ties vec_id ASC, cos rounded to 4 after
+        ranking — the search_ids contract."""
+        import numpy as np
+        import pandas as pd
+        qv = np.asarray(qv, dtype=np.float64)
+        qn = float(np.sqrt((qv * qv).sum())) or 1e-30
+        ccos = (self.cents @ qv) / (self.cent_norms * qn)
+        probe_sel = np.lexsort((self.cent_ids, -ccos))[:nprobe]
+        tomb = self._tombstones()
+        ids_l, cos_l = [], []
+        for cid in self.cent_ids[probe_sel]:
+            ids, mat, nrm = self._bucket(int(cid))
+            cos = (mat @ qv) / (nrm * qn)
+            ids_l.append(ids)
+            cos_l.append(cos)
+        ids = np.concatenate(ids_l)
+        cos = np.concatenate(cos_l)
+        mask = np.ones(ids.size, dtype=bool)
+        if exclude_ids:
+            mask &= ~np.isin(ids, np.asarray(list(exclude_ids)))
+        if tomb:
+            mask &= ~np.isin(ids, np.fromiter(tomb, dtype=np.int64))
+        ids, cos = ids[mask], cos[mask]
+        sel = np.lexsort((ids, -cos))[:k]
+        return pd.DataFrame({
+            "rank": np.arange(1, sel.size + 1, dtype=np.int64),
+            "vec_id": ids[sel],
+            "cos": np.round(cos[sel], 4)})
+
+    def search_ids(self, query_ids: list, k: int = 5,
+                   nprobe: int = 2) -> "pd.DataFrame":
+        """Driver-local twin of ``IvfIndex.search_ids``: same columns
+        (query_id, rank, vec_id, cos), same order."""
+        import numpy as np
+        import pandas as pd
+        tomb = self._tombstones()
+        parts = []
+        for qid in query_ids:
+            if qid in tomb or qid not in self._id_bucket:
+                continue
+            ids, mat, nrm = self._bucket(self._id_bucket[qid])
+            pos = int(np.searchsorted(ids, qid))
+            out = self.search_vector(mat[pos], k=k, nprobe=nprobe,
+                                     exclude_ids=tuple(query_ids))
+            out.insert(0, "query_id", qid)
+            parts.append(out)
+        if not parts:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "rank": pd.Series(dtype="int64"),
+                                 "vec_id": pd.Series(dtype="int64"),
+                                 "cos": pd.Series(dtype="float64")})
+        return (pd.concat(parts, ignore_index=True)
+                .sort_values(["query_id", "rank"], kind="mergesort")
+                .reset_index(drop=True))

@@ -156,3 +156,31 @@ def test_threshold_seeding_skips_and_preserves_results(idx):
     # still returns exactly the Spark path's results
     assert serve_rows(srv.search(q, k=10)) == want == \
         spark_rows(idx.search(q, k=10))
+
+
+def test_ann_serving_matches_spark(spark, tmp_path):
+    from pg_textsearch_spark.operators import similarity
+    embs = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+    path = str(tmp_path / "ivf")
+    art = similarity.IvfIndex.build(spark, embs, path,
+                                    n_centroids=8, n_iters=2)
+    srv = art.serving()
+    qids = [0, 3, 7, 11]
+    want = art.search_ids(qids, k=5, nprobe=2).toPandas()
+    got = srv.search_ids(qids, k=5, nprobe=2)
+    assert list(map(tuple, got.values.tolist())) == \
+        list(map(tuple, want.values.tolist()))
+    # deletes are respected without reopening
+    art.delete([int(want["vec_id"].iloc[0])])
+    want2 = art.search_ids(qids, k=5, nprobe=2).toPandas()
+    got2 = srv.search_ids(qids, k=5, nprobe=2)
+    assert list(map(tuple, got2.values.tolist())) == \
+        list(map(tuple, want2.values.tolist()))
+    # arbitrary-vector entry point returns the same neighbors as an
+    # id-keyed search for that id's own stored vector
+    import numpy as np
+    ids, mat, nrm = srv._bucket(srv._id_bucket[qids[0]])
+    pos = int(np.searchsorted(ids, qids[0]))
+    v = srv.search_vector(mat[pos], k=5, nprobe=2, exclude_ids=tuple(qids))
+    one = got2[got2["query_id"] == qids[0]]
+    assert v["vec_id"].tolist() == one["vec_id"].tolist()
