@@ -365,6 +365,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               .select(F.col("doc_id").alias("eval_id"), "text"))
         return decontaminate(docs, ev, n=8)
     q["text_decontaminate"] = _decon
+    q["text_pii_scrub"] = lambda s, d: __import__(
+        "pg_textsearch_spark.operators.pii", fromlist=["pii_scrub"]
+    ).pii_scrub(_docs(s, d))
 
     # --- dedup ---
     q["dedup_exact"] = lambda s, d: dedup.exact_dedup(_docs(s, d))
@@ -638,6 +641,8 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
     o["text_decontaminate"] = decontaminate_oracle_sql(
         "SELECT doc_id AS eval_id, text FROM documents WHERE doc_id % 37 = 0",
         n=8)
+    from pg_textsearch_spark.operators.pii import pii_scrub_oracle_sql
+    o["text_pii_scrub"] = pii_scrub_oracle_sql()
 
     o["dedup_exact"] = dedup.exact_dedup_oracle_sql()
     o["dedup_ngram_jaccard"] = dedup.ngram_jaccard_pairs_oracle_sql(threshold=0.2)

@@ -251,3 +251,30 @@ def test_decontaminate_hand_corpus(spark):
     # 100 TB shape: the eval side must reach the join as a broadcast
     plan = decontaminate(docs, ev, n=6)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# --------------------------------------------------------- PII scrubbing
+
+def test_pii_scrub_hand_corpus(spark):
+    import duckdb
+    from pg_textsearch_spark.operators.pii import (pii_scrub,
+                                                   pii_scrub_oracle_sql)
+    docs = spark.createDataFrame(
+        [(1, "contact john.doe+spam@example.co.uk or call +1 415 555 0123"),
+         (2, "server at 10.0.0.1 and 192.168.001.255, ssn 123-45-6789"),
+         (3, "no pii here at all, just 42 and 3.14"),
+         (4, "mail a@b.io b@c.org; phones 415-555-0123 and 020 7946 0958")],
+        "doc_id long, text string")
+    got = pii_scrub(docs).toPandas()
+    by = {r.doc_id: r for r in got.itertuples()}
+    assert (by[1].n_email, by[1].n_phone) == (1, 1)
+    assert (by[2].n_ipv4, by[2].n_ssn) == (2, 1)
+    assert (by[3].n_email, by[3].n_ssn, by[3].n_ipv4, by[3].n_phone) \
+        == (0, 0, 0, 0)
+    assert (by[4].n_email, by[4].n_phone) == (2, 2)
+
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    odf = con.sql(pii_scrub_oracle_sql()).df()
+    import pandas as pd
+    pd.testing.assert_frame_equal(got, odf)
