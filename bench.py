@@ -313,6 +313,18 @@ def main() -> None:
     extra["p11_repetition_sec"] = timed(
         lambda: textstats.repetition_stats(docs).collect(), n=2)
 
+    # PII scrub (pure codegen regex map) + benchmark decontamination
+    # (broadcast n-gram join vs a synthetic eval set)
+    from pg_textsearch_spark.operators.pii import pii_scrub
+    from pg_textsearch_spark.operators.decontaminate import decontaminate
+    extra["p12_pii_scrub_sec"] = timed(
+        lambda: pii_scrub(docs).collect(), n=2)
+    from pyspark.sql import functions as F
+    ev = (docs.filter(F.col("doc_id") % 37 == 0)
+          .select(F.col("doc_id").alias("eval_id"), "text"))
+    extra["p13_decontaminate_sec"] = timed(
+        lambda: decontaminate(docs, ev, n=8).collect(), n=2)
+
     # parallelism facts for the pipeline ops + the two scan-shaped queries
     # (VERDICT r3 #10): one extra profiled run each, recording jobs /
     # stages / tasks / widest stage
