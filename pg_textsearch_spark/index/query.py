@@ -271,7 +271,8 @@ def _accumulate(id_parts: list, sc_parts: list):
 
 
 def _run_maxscore(readers: dict[str, _TermReader], weights: dict[str, float],
-                  k: int | None, eps: float, init_kth: float = 0.0):
+                  k: int | None, eps: float, init_kth: float = 0.0,
+                  stats: dict | None = None):
     """Exact MaxScore + block-max top-k over lazily-decoded term readers.
 
     The engine's BMW core (reference src/scoring/bmw.c:469-642 single-term,
@@ -305,6 +306,8 @@ def _run_maxscore(readers: dict[str, _TermReader], weights: dict[str, float],
     order = sorted(readers, key=lambda t: (-bounds[t], t))
     total_bound = sum(bounds.values())
     if k is not None and init_kth > 0.0 and total_bound < init_kth - eps:
+        if stats is not None:
+            stats["segments_skipped"] = stats.get("segments_skipped", 0) + 1
         return None
     id_parts, sc_parts = [], []
     uniq = scores = counts = None
@@ -579,7 +582,8 @@ def make_segment_kernel(qfreqs: dict[str, float], n_docs: int,
             # shared_topk so later segments prune against it (and whole
             # segments skip); Spark kernels run in parallel — None there
             res = _run_maxscore(readers, weights, k, eps,
-                                init_kth=(shared_topk or {}).get("kth", 0.0))
+                                init_kth=(shared_topk or {}).get("kth", 0.0),
+                                stats=shared_topk)
             if res is None:
                 return empty_pair if as_arrays else finish(
                     empty_frame(["doc_id", "raw_score", "n_terms"]))

@@ -226,7 +226,7 @@ class LocalSearcher:
         # into MaxScore: once k docs are banked, later segments prune
         # against the global bar (whole segments skip when their bounds
         # fall short) — the reference's single cross-scan heap
-        state = {"kth": 0.0}
+        state = {"kth": 0.0, "segments_skipped": 0}
         kernel = make_segment_kernel(
             qfreqs, self.manifest.total_docs, k, opts,
             max(self.manifest.avgdl, 1e-9), mode, phrase_occs,
@@ -235,7 +235,9 @@ class LocalSearcher:
             shared_topk=state)
         ids_l, sc_l = [], []
         n_banked = 0
+        n_visited = 0
         for seg_id, rs in self._by_segment(rows).items():
+            n_visited += 1
             uniq, scores = kernel((seg_id,), rs)
             if not uniq.size:
                 continue
@@ -246,6 +248,10 @@ class LocalSearcher:
                 allsc = sc_l[0] if len(sc_l) == 1 else np.concatenate(sc_l)
                 state["kth"] = float(
                     np.partition(allsc, allsc.size - k)[allsc.size - k])
+        # observability: how many term-bearing segments the seeded
+        # threshold skipped without decoding a block (SCALE.md evidence)
+        self.last_stats = {"segments_visited": n_visited,
+                           "segments_skipped": state["segments_skipped"]}
         if not ids_l:
             return _empty(_EMPTY)
         ids = np.concatenate(ids_l)

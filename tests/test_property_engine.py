@@ -61,3 +61,9 @@ def test_index_matches_exhaustive(spark, tmp_path_factory, corpus, query,
     got = [(r["doc_id"], r["score"])
            for r in idx.search(q, k=10, mode=mode).collect()]
     assert got == want, (q, cfg, codec, mode, segs)
+
+    # the driver-local serving path (index/serve.py: pyarrow reads,
+    # list-input kernels, cross-segment threshold seeding) must agree too
+    served = idx.serving().search(q, k=10, mode=mode)
+    assert list(zip(served["doc_id"], served["score"])) == want, \
+        ("serve", q, cfg, codec, mode, segs)

@@ -184,3 +184,20 @@ def test_ann_serving_matches_spark(spark, tmp_path):
     v = srv.search_vector(mat[pos], k=5, nprobe=2, exclude_ids=tuple(qids))
     one = got2[got2["query_id"] == qids[0]]
     assert v["vec_id"].tolist() == one["vec_id"].tolist()
+
+
+def test_seeded_threshold_skips_cold_segments(spark, tmp_path):
+    # doc-range segments (no reorder): docs 1-100 are term-heavy, docs
+    # 301-400 mention the term once in long docs — once segment 1 banks
+    # k docs, later segments' bounds fall short and skip entirely
+    rows = [(i, "rare " * 8 + "filler") for i in range(1, 101)]
+    rows += [(i, "rare " + "pad " * 40) for i in range(301, 401)]
+    docs = spark.createDataFrame(rows, "id long, content string")
+    idx = Bm25Index.build(spark, docs, "content", str(tmp_path / "idx"),
+                          id_col="id",
+                          opts=Bm25Options(text_config="simple"),
+                          num_segments=4)
+    srv = idx.serving()
+    got = srv.search("rare", k=10)
+    assert srv.last_stats["segments_skipped"] >= 1, srv.last_stats
+    assert serve_rows(got) == spark_rows(idx.search("rare", k=10))
