@@ -262,10 +262,30 @@ class LocalSearcher:
         return pd.DataFrame({"doc_id": ids[order], "score": sc[order]})
 
     def search_batch(self, queries: list[str], k: int = 10,
-                     round_to: int = 4) -> pd.DataFrame:
+                     round_to: int = 4,
+                     per_query_seeding: bool = False) -> pd.DataFrame:
         """Batched disjunctive top-k; same shared-decode-cache kernel as
         the Spark ``search_batch`` (a block decodes at most once per
-        segment across the whole batch), same output and ordering."""
+        segment across the whole batch), same output and ordering.
+
+        ``per_query_seeding=True`` flips to a query-major loop of
+        :meth:`search` calls — each query then gets cross-segment
+        threshold seeding, and decode sharing is preserved by the
+        persistent reader cache. Same results either way (pinned in
+        tests); pick by regime: segment-major wins when per-segment
+        posting volume is small (fixed costs amortize across the
+        batch), query-major wins when hot terms are large enough that
+        seeded pruning pays (measured at 2 M docs: ~140 -> ~66 ms/q)."""
+        if per_query_seeding:
+            parts = []
+            for qi, q in enumerate(queries):
+                out = self.search(q, k=k, round_to=round_to)
+                if len(out):
+                    out.insert(0, "query_id", np.int32(qi))
+                    parts.append(out)
+            if not parts:
+                return _empty(_EMPTY_BATCH)
+            return pd.concat(parts, ignore_index=True)
         self.refresh()
         opts = self.manifest.opts
         per_query, all_terms = tokenize_batch(queries, opts)

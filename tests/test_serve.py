@@ -201,3 +201,11 @@ def test_seeded_threshold_skips_cold_segments(spark, tmp_path):
     got = srv.search("rare", k=10)
     assert srv.last_stats["segments_skipped"] >= 1, srv.last_stats
     assert serve_rows(got) == spark_rows(idx.search("rare", k=10))
+
+
+def test_serve_batch_per_query_seeding_identical(idx):
+    srv = idx.serving()
+    qs = ["quick brown", "lazy dog river", "stone", "nosuchterm", "fox ember"]
+    a = srv.search_batch(qs, k=5)
+    b = srv.search_batch(qs, k=5, per_query_seeding=True)
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
