@@ -514,31 +514,6 @@ def make_segment_kernel(qfreqs: dict[str, float], n_docs: int,
             out["pos_blocks_total"] = np.int64(pos_blocks_total)
             return out[out_cols]
 
-        def mask_deleted(ids, tfs, norms, poss_l=None):
-            if deleted is None or not deleted.size or not ids.size:
-                return ids, tfs, norms, poss_l
-            pos = np.searchsorted(deleted, ids)
-            pos[pos >= deleted.size] = deleted.size - 1
-            dead = deleted[pos] == ids
-            if dead.any():
-                alive = ~dead
-                ids, tfs, norms = ids[alive], tfs[alive], norms[alive]
-                if poss_l:
-                    poss_l = [p for p, a in zip(poss_l, alive) if a]
-            return ids, tfs, norms, poss_l
-
-        def decode_term_full(t):
-            ids_l, tfs_l, norms_l = [], [], []
-            for r in per_term[t]:
-                ids, tfs, norms = decode_row(r, opts.block_size, opts.codec)
-                counters["decoded"] += int(r["num_blocks"])
-                ids_l.append(ids); tfs_l.append(tfs); norms_l.append(norms)
-            ids = np.concatenate(ids_l)
-            tfs = np.concatenate(tfs_l).astype(np.float64)
-            norms = np.concatenate(norms_l)
-            ids, tfs, norms, _ = mask_deleted(ids, tfs, norms)
-            return ids, tfs, norms
-
         def decode_positions_for(t, cand):
             """Positions for term t restricted to candidate docs: decode
             ONLY the sidecar blocks that can contain a candidate (VERDICT
@@ -590,23 +565,22 @@ def make_segment_kernel(qfreqs: dict[str, float], n_docs: int,
             uniq, scores, counts = res
         else:
             # exhaustive accumulation ('and' needs exact per-doc term
-            # counts; phrase needs the positions of every matched doc)
-            bounds = {t: weights[t] * max(
-                float(np.max(np.asarray(r["skip_max_tf"], dtype=np.float64)
-                             * (k1 + 1.0)
-                             / (np.asarray(r["skip_max_tf"], dtype=np.float64)
-                                + denom_norm[np.asarray(r["skip_min_norm"],
-                                                        dtype=np.int64)])))
-                for r in rows_) for t, rows_ in per_term.items()}
+            # counts; phrase needs the positions of every matched doc) —
+            # decoded through the same readers so the serving path's
+            # cross-query cache covers and/phrase too
+            readers = _readers_for(per_term, seg_id, opts.block_size,
+                                   opts.codec, denom_norm, k1, deleted,
+                                   counters, reader_cache)
+            bounds = {t: weights[t] * readers[t].max_unit_bound
+                      for t in per_term}
             order = sorted(per_term, key=lambda t: (-bounds[t], t))
             id_parts, sc_parts = [], []
             decoded_ids: dict[str, np.ndarray] = {}
             for t in order:
-                w = weights[t]
-                ids, tfs, norms = decode_term_full(t)
-                contrib = w * (tfs * (k1 + 1.0)) / (tfs + denom_norm[norms])
+                rd = readers[t]
+                ids, cs = rd.get(np.arange(rd.n_blocks, dtype=np.int64))
                 id_parts.append(ids)
-                sc_parts.append(contrib)
+                sc_parts.append(cs * weights[t])
                 decoded_ids[t] = ids
             if not id_parts or not any(a.size for a in id_parts):
                 return empty_pair if as_arrays else finish(
