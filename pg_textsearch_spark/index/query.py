@@ -126,7 +126,7 @@ class _TermReader:
     __slots__ = ("rows", "block_size", "codec", "denom_norm", "k1",
                  "deleted", "counters", "frow", "fbnd", "flast",
                  "row_start", "row_nblocks", "n_blocks", "max_unit_bound",
-                 "bound_order", "_cache")
+                 "bound_order", "_cache", "_pos")
 
     def __init__(self, rows: list[dict], block_size: int, codec: str,
                  denom_norm: np.ndarray, k1: float,
@@ -160,6 +160,7 @@ class _TermReader:
         # progressive decode is deterministic
         self.bound_order = np.lexsort((np.arange(self.n_blocks), -self.fbnd))
         self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._pos: dict[tuple[int, int], tuple | None] = {}
 
     def _ensure(self, flat_idx: np.ndarray) -> None:
         missing = np.asarray([f for f in flat_idx if int(f) not in self._cache],
@@ -204,6 +205,32 @@ class _TermReader:
             return e, e.astype(np.float64)
         return (np.concatenate([p[0] for p in parts]),
                 np.concatenate([p[1] for p in parts]))
+
+    def pos_blocks(self, ri: int, blocks: np.ndarray):
+        """Raw (block_doc_ids, positions_lists) per LOCAL block of shard
+        row ``ri`` — decoded once, cached across queries (phrase serving).
+        ``None`` entries mark rows without a positions sidecar. ``blocks``
+        must be sorted ascending."""
+        r = self.rows[ri]
+        missing = np.asarray([b for b in blocks
+                              if (ri, int(b)) not in self._pos],
+                             dtype=np.int64)
+        if missing.size:
+            bids, _tfs, _norms = decode_row_blocks(r, missing, self.codec)
+            _pidx, plists = decode_positions_blocks(r, missing)
+            self.counters["pos_decoded"] = (
+                self.counters.get("pos_decoded", 0) + int(missing.size))
+            if plists is None:
+                for b in missing:
+                    self._pos[(ri, int(b))] = None
+            else:
+                cnts = np.asarray(r["skip_doc_count"],
+                                  dtype=np.int64)[missing]
+                ends = np.cumsum(cnts)
+                starts = ends - cnts
+                for b, s, e in zip(missing, starts, ends):
+                    self._pos[(ri, int(b))] = (bids[s:e], plists[s:e])
+        return [self._pos[(ri, int(b))] for b in blocks]
 
     def candidate_contrib(self, cand_ids: np.ndarray) -> np.ndarray:
         """Non-essential-phase lookup: unit contribution of each candidate
@@ -514,14 +541,17 @@ def make_segment_kernel(qfreqs: dict[str, float], n_docs: int,
             out["pos_blocks_total"] = np.int64(pos_blocks_total)
             return out[out_cols]
 
-        def decode_positions_for(t, cand):
+        def decode_positions_for(t, cand, readers):
             """Positions for term t restricted to candidate docs: decode
             ONLY the sidecar blocks that can contain a candidate (VERDICT
             round-3 #5 — phrase queries no longer decode every positions
-            list of every term)."""
+            list of every term). Raw block decodes go through the reader's
+            positions cache, so warm phrase queries on the serving path
+            skip the sidecar entirely."""
             ids_l: list[np.ndarray] = []
             pls: list[np.ndarray] = []
-            for r in per_term.get(t, ()):
+            rd = readers[t]
+            for ri, r in enumerate(per_term.get(t, ())):
                 sub = cand[(cand >= int(r["min_doc_id"]))
                            & (cand <= int(r["last_doc_id"]))]
                 if not sub.size:
@@ -532,15 +562,14 @@ def make_segment_kernel(qfreqs: dict[str, float], n_docs: int,
                 blocks = blocks[blocks < skip_last.size]
                 if not blocks.size:
                     continue
-                bids, _btfs, _bnorms = decode_row_blocks(
-                    r, blocks, opts.codec)
-                _pidx, plists = decode_positions_blocks(r, blocks)
-                counters["pos_decoded"] += int(blocks.size)
-                if plists is None:
-                    continue
-                hit = np.isin(bids, sub, assume_unique=False)
-                ids_l.append(bids[hit])
-                pls.extend(p for p, h in zip(plists, hit) if h)
+                for got in rd.pos_blocks(ri, blocks):
+                    if got is None:
+                        break
+                    bids, plists = got
+                    hit = np.isin(bids, sub, assume_unique=False)
+                    if hit.any():
+                        ids_l.append(bids[hit])
+                        pls.extend(p for p, h in zip(plists, hit) if h)
             if not ids_l:
                 return np.empty(0, dtype=np.int64), []
             return np.concatenate(ids_l), pls
@@ -603,7 +632,7 @@ def make_segment_kernel(qfreqs: dict[str, float], n_docs: int,
                 if cand is None or not cand.size:
                     keep = np.zeros(uniq.size, dtype=bool)
                 else:
-                    pos_parts = {t: decode_positions_for(t, cand)
+                    pos_parts = {t: decode_positions_for(t, cand, readers)
                                  for t in {t_ for t_, _ in phrase_occs}}
                     keep = _phrase_filter(uniq, pos_parts, phrase_occs)
             uniq, scores, counts = uniq[keep], scores[keep], counts[keep]
