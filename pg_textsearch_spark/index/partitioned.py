@@ -163,3 +163,49 @@ class PartitionedBm25Index:
         return {v: {"total_docs": self.child(v).manifest.total_docs,
                     "avgdl": self.child(v).manifest.avgdl}
                 for v in self.partitions}
+
+    def serving(self, cache_terms: int = 4096) -> "PartitionedLocalSearcher":
+        """Driver-local serving over every child index — the partitioned
+        counterpart of Bm25Index.serving()."""
+        return PartitionedLocalSearcher(self.path, self.partition_col,
+                                        self.partitions,
+                                        cache_terms=cache_terms)
+
+
+class PartitionedLocalSearcher:
+    """Point queries over a PartitionedBm25Index without a Spark job:
+    one LocalSearcher per child (each with its own reader cache and
+    partition-LOCAL stats — identical semantics to the Spark path's
+    per-partition scoring), unioned with the same global
+    (score DESC, doc_id ASC) cut."""
+
+    def __init__(self, path: str, partition_col: str,
+                 partitions: list[str], cache_terms: int = 4096):
+        import os as _os
+        from .serve import LocalSearcher
+        self.partition_col = partition_col
+        self.partitions = list(partitions)
+        self._children = {
+            v: LocalSearcher(_os.path.join(path, f"part={v}"),
+                             cache_terms=cache_terms)
+            for v in self.partitions}
+
+    def search(self, query: str, k: int | None | str = 10,
+               partitions: list[str] | None = None, mode: str = "or"):
+        import pandas as pd
+        parts = self.partitions if partitions is None else partitions
+        unknown = [p for p in parts if p not in self._children]
+        if unknown:
+            raise ValueError(f"unknown partitions: {unknown}")
+        frames = []
+        for v in parts:
+            out = self._children[v].search(query, k=k, mode=mode)
+            out[self.partition_col] = v
+            frames.append(out)
+        pdf = pd.concat(frames, ignore_index=True)
+        if len(parts) > 1 and isinstance(k, int):
+            pdf = (pdf.sort_values(["score", "doc_id"],
+                                   ascending=[False, True],
+                                   kind="mergesort")
+                   .head(k).reset_index(drop=True))
+        return pdf

@@ -209,3 +209,24 @@ def test_serve_batch_per_query_seeding_identical(idx):
     a = srv.search_batch(qs, k=5)
     b = srv.search_batch(qs, k=5, per_query_seeding=True)
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_partitioned_serving_matches_spark(spark, tmp_path):
+    from pg_textsearch_spark.index.partitioned import PartitionedBm25Index
+    rows = [(i, "alpha beta gamma common words here", "big")
+            for i in range(200)]
+    rows += [(1000 + i, "alpha rare partition doc", "tiny") for i in range(6)]
+    docs = spark.createDataFrame(rows, "id long, content string, part string")
+    pidx = PartitionedBm25Index.build(
+        spark, docs, "content", str(tmp_path / "p"), "part",
+        id_col="id", opts=Bm25Options(text_config="simple"), num_segments=2)
+    srv = pidx.serving()
+    for kwargs in ({"partitions": ["tiny"]}, {}, {"k": 4}):
+        got = srv.search("alpha rare", k=kwargs.pop("k", 5), **kwargs)
+        want = pidx.search("alpha rare", k=len(got), **kwargs).toPandas()
+        gset = set(map(tuple, got[["doc_id", "score"]].values.tolist()))
+        wset = set(map(tuple, want[["doc_id", "score"]].values.tolist()))
+        assert gset == wset, kwargs
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        srv.search("alpha", partitions=["nope"])
