@@ -60,6 +60,7 @@ class Percolator:
                  for t, qf in qterms],
                 len({t for t, _ in qterms}),
             ))
+        self._qrows = rows   # driver-side twin for match_doc()
         self._qdf = spark.createDataFrame(
             rows, "query_id long, "
                   "qterms array<struct<term:string,qfreq:double,idf:double>>, "
@@ -163,6 +164,39 @@ class Percolator:
                .filter(F.col("score") >= float(min_score)))
         if not out.isStreaming:
             out = out.orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+        return out
+
+    def match_doc(self, text: str, min_score: float = 0.0,
+                  mode: str = "or",
+                  round_to: int = 4) -> list[tuple[int, float]]:
+        """Route ONE document to the K standing queries driver-side — the
+        percolation serving shape (alert/routing rules on a single
+        incoming item): no Spark job, same tokenizer and scoring as
+        :meth:`matches` (same fold order over each query's terms, pinned
+        score-identical in tests). Returns [(query_id, score)] ordered
+        (score DESC, query_id ASC) with rounded score >= ``min_score``."""
+        if mode not in ("or", "and"):
+            raise ValueError("percolate supports modes 'or' and 'and'")
+        from ..functions.fieldnorm import quantize_len
+        from ..functions.tokenizer import tokenize
+        k1, b = float(self.opts.k1), float(self.opts.b)
+        terms, tfs, doc_len = tokenize(text, self.opts.text_config)
+        tfmap = dict(zip(terms, tfs))
+        qdl = float(quantize_len(doc_len))
+        denom_fix = k1 * (1.0 - b + b * qdl / self.avgdl)
+        out = []
+        for qid, qterms, n_distinct in self._qrows:
+            matched = [(t, qf, idf) for t, qf, idf in qterms if t in tfmap]
+            if len(matched) < (1 if mode == "or" else n_distinct):
+                continue
+            s = 0.0
+            for t, qf, idf in matched:
+                tf = float(tfmap[t])
+                s += qf * idf * (tf * (k1 + 1.0)) / (tf + denom_fix)
+            s = round(s, round_to)
+            if s >= float(min_score):
+                out.append((int(qid), s))
+        out.sort(key=lambda r: (-r[1], r[0]))
         return out
 
     def matches_inverted(self, docs: DataFrame, text_col: str = "text",

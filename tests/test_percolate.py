@@ -103,3 +103,25 @@ def test_inverted_path_equals_nlj_path(spark, docs):
               .parquet("/root/testdata/sf0.001"))
     with pytest.raises(ValueError, match="batch-only"):
         perc.matches_inverted(stream)
+
+
+def test_match_doc_equals_spark_matches(spark, docs):
+    opts = Bm25Options(text_config="simple")
+    perc = Percolator.from_corpus(spark, docs, QUERIES, opts=opts)
+    spark_all = _as_map(
+        perc.matches(docs.limit(8), min_score=0.0).collect())
+    rows = docs.limit(8).collect()
+    for r in rows:
+        got = perc.match_doc(r["text"])
+        want = sorted(((qid, s) for (qid, did), s in spark_all.items()
+                       if did == r["doc_id"]), key=lambda x: (-x[1], x[0]))
+        assert got == want, r["doc_id"]
+    # and/min_score parity on one doc
+    r = rows[0]
+    got = perc.match_doc(r["text"], mode="and", min_score=0.5)
+    spark_and = _as_map(
+        perc.matches(docs.filter(F.col("doc_id") == r["doc_id"]),
+                     mode="and", min_score=0.5).collect())
+    want = sorted(((qid, s) for (qid, _), s in spark_and.items()),
+                  key=lambda x: (-x[1], x[0]))
+    assert got == want
