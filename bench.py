@@ -396,7 +396,27 @@ def main() -> None:
         # => idle host; inflated => shared-VM load inflated the timings too
         "hw_control_sec": {"pre": control_pre, "post": control_post},
     }
-    print(json.dumps(out))
+    # full result -> file; stdout gets a COMPACT single line. Round 4's
+    # stdout line (~10 KB with bmw/extra/parallelism detail) outran the
+    # driver's capture buffer and landed as parsed:null — the official
+    # artifact must survive, so detail lives in BENCH_LOCAL.json.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "queries": out["queries"],
+        "sf": out["sf"],
+        "build": {k: out["build"][k]
+                  for k in ("docs", "docs_per_sec", "tokens_per_sec",
+                            "segments", "index_bytes", "cpus")},
+        "hw_control_sec": out["hw_control_sec"],
+        "detail_file": "BENCH_LOCAL.json",
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
