@@ -83,11 +83,17 @@ def hybrid_rrf(spark: SparkSession, docs: DataFrame, embs: DataFrame,
     q = base.filter(F.col("vec_id") == query_vec_id) \
             .select(F.col("v").alias("qv"), F.col("nrm").alias("qn"))
     cos = _dot_col(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    # top-n_candidates FIRST via orderBy+limit (TakeOrderedAndProject:
+    # per-partition bounded heaps, no exchange of the full corpus), THEN
+    # rank the <=n_candidates survivors. The previous unpartitioned
+    # row_number() window forced a single-partition sort of EVERY corpus
+    # vector before the rank filter — a scale-killer at 25 B embeddings.
     wc = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
     cs_ranked = (base.crossJoin(F.broadcast(q))
                  .select(F.col("vec_id").alias("doc_id"), cos.alias("cos"))
-                 .withColumn("cos_rank", F.row_number().over(wc))
-                 .filter(F.col("cos_rank") <= n_candidates))
+                 .orderBy(F.desc("cos"), F.asc("doc_id"))
+                 .limit(n_candidates)
+                 .withColumn("cos_rank", F.row_number().over(wc)))
 
     return rrf_fuse(bm_ranked, cs_ranked, k=k, rrf_k=rrf_k)
 
