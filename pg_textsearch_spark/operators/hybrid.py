@@ -32,7 +32,8 @@ from ..oracle import bm25_oracle_sql
 from .exhaustive import score_exhaustive
 from .similarity import DOT_SQL, NORM_SQL, _dot_col, _with_norm
 
-__all__ = ["rrf_fuse", "hybrid_rrf", "hybrid_rrf_oracle_sql"]
+__all__ = ["rrf_fuse", "hybrid_rrf", "hybrid_rrf_oracle_sql",
+           "hybrid_scale_rrf", "hybrid_scale_rrf_oracle_sql"]
 
 
 def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame, k: int = 10,
@@ -96,6 +97,92 @@ def hybrid_rrf(spark: SparkSession, docs: DataFrame, embs: DataFrame,
                  .withColumn("cos_rank", F.row_number().over(wc)))
 
     return rrf_fuse(bm_ranked, cs_ranked, k=k, rrf_k=rrf_k)
+
+
+def hybrid_scale_rrf(bm25_index, ivf_index, query: str, query_vec_id: int,
+                     k: int = 10, rrf_k: int = 60, n_candidates: int = 50,
+                     nprobe: int | None = None) -> DataFrame:
+    """The PRODUCTION hybrid composition: BM25 segment-index search
+    (block-max pruned, ``Bm25Index.search``) + IVF ANN probe
+    (``IvfIndex.search_ids`` — cent_id partition pruning), RRF-fused.
+
+    This is the scale path :func:`hybrid_rrf` is the exhaustive oracle
+    twin of: both retrieval legs read persisted index artifacts and touch
+    only the postings / buckets the query needs, so the fusion's cost is
+    independent of corpus size. ``nprobe`` defaults to every centroid
+    (exact recall — the oracle-checkable setting); production callers dial
+    it down for the usual IVF recall/latency trade.
+
+    The seed document stays in the BM25 candidate list but is excluded
+    from the vector list (``search_ids`` never returns its own query ids
+    — FAISS convention), mirroring ``hybrid_scale_rrf_oracle_sql``.
+
+    Reference anchor: /root/reference/README.md:1-40 positions
+    pg_textsearch beside pgvector for exactly this BM25 x vector split.
+    """
+    bm = bm25_index.search(query, k=n_candidates)
+    wb = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    bm_ranked = bm.select("doc_id", "score") \
+                  .withColumn("bm25_rank", F.row_number().over(wb))
+    if nprobe is None:
+        nprobe = int(ivf_index.meta["n_centroids"])
+    cs_ranked = (ivf_index.search_ids([int(query_vec_id)], k=n_candidates,
+                                      nprobe=nprobe)
+                 .select(F.col("vec_id").alias("doc_id"),
+                         F.col("rank").alias("cos_rank")))
+    return rrf_fuse(bm_ranked, cs_ranked, k=k, rrf_k=rrf_k)
+
+
+def hybrid_scale_rrf_oracle_sql(query: str, query_vec_id: int, k: int = 10,
+                                rrf_k: int = 60, n_candidates: int = 50,
+                                dim: int = 64,
+                                opts: Bm25Options | None = None,
+                                doc_table: str = "documents",
+                                emb_table: str = "embeddings",
+                                text_col: str = "text",
+                                id_col: str = "doc_id",
+                                vec_col: str = "embedding",
+                                vec_id_col: str = "vec_id") -> str:
+    """DuckDB twin of :func:`hybrid_scale_rrf` at ``nprobe=n_centroids``:
+    with every bucket probed the IVF leg IS exact cosine over the corpus
+    minus the seed vector, so the oracle needs no centroid emulation."""
+    inner_bm = bm25_oracle_sql(query, table=doc_table, id_col=id_col,
+                               text_col=text_col, k=n_candidates, opts=opts)
+    dot = DOT_SQL.format(dim=dim, a="q.v", b="c.v")
+    return f"""
+WITH bm_scores AS (
+{inner_bm}
+),
+bm AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS bm25_rank
+  FROM bm_scores
+),
+embase AS (
+  SELECT {vec_id_col} AS vec_id, {vec_col}::DOUBLE[] AS v,
+         {NORM_SQL.format(a=f"{vec_col}::DOUBLE[]")} AS nrm
+  FROM {emb_table}
+),
+q AS (SELECT v, nrm FROM embase WHERE vec_id = {query_vec_id}),
+cs AS (
+  SELECT doc_id, cos_rank FROM (
+    SELECT c.vec_id AS doc_id,
+           ROW_NUMBER() OVER (
+             ORDER BY {dot} / (q.nrm * c.nrm) DESC, c.vec_id ASC
+           ) AS cos_rank
+    FROM embase c, q
+    WHERE c.vec_id <> {query_vec_id}
+  ) WHERE cos_rank <= {n_candidates}
+)
+SELECT COALESCE(bm.doc_id, cs.doc_id) AS doc_id,
+       ROUND(COALESCE(1.0 / ({rrf_k} + bm.bm25_rank), 0)
+             + COALESCE(1.0 / ({rrf_k} + cs.cos_rank), 0), 6) AS rrf_score,
+       COALESCE(bm.bm25_rank, 0)::BIGINT AS bm25_rank,
+       COALESCE(cs.cos_rank, 0)::BIGINT AS cos_rank
+FROM bm FULL OUTER JOIN cs ON bm.doc_id = cs.doc_id
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT {k}
+"""
 
 
 def hybrid_rrf_oracle_sql(query: str, query_vec_id: int, k: int = 10,

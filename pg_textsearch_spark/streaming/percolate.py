@@ -40,31 +40,90 @@ class Percolator:
     freq for every standing-query term). Use :meth:`from_index` to freeze
     stats from a built index (the production shape: corpus indexed, new
     docs routed) or :meth:`from_corpus` to compute them from a DataFrame.
+
+    Lifecycle: :meth:`add_queries` / :meth:`remove_queries` mutate the
+    standing set WITHOUT refreezing corpus statistics — only the K-row
+    query table is rebuilt (and re-broadcast on the next ``matches``
+    plan). Query ids are stable: removal leaves a tombstoned slot, new
+    queries always get fresh ids. An already-RUNNING streaming query
+    keeps the broadcast table its plan captured; restart the stream to
+    pick up lifecycle changes (standard broadcast-join semantics).
     """
 
+    _QDF_SCHEMA = ("query_id long, "
+                   "qterms array<struct<term:string,qfreq:double,idf:double>>, "
+                   "n_distinct int")
+
     def __init__(self, spark: SparkSession, queries: list[str],
-                 stats: dict, opts: Bm25Options | None = None):
+                 stats: dict, opts: Bm25Options | None = None,
+                 df_lookup=None):
         self.spark = spark
         self.opts = opts or Bm25Options()
+        # slot list: query_id == position; remove_queries() tombstones a
+        # slot to None so ids never renumber or get reused
         self.queries = list(queries)
         self.n_docs = int(stats["n_docs"])
         self.avgdl = float(stats["avgdl"]) or 1.0
-        df_by_term = stats["df"]
+        self._df = {t: int(v) for t, v in stats["df"].items()}
+        # callable(terms) -> {term: df} resolving doc freqs for terms not
+        # in the frozen dict (add_queries with unseen vocabulary); None =
+        # unseen terms score with df 0
+        self._df_lookup = df_lookup
+        self._rebuild()
+
+    def _rebuild(self) -> None:
+        """(Re)derive the driver rows + the broadcastable K-row query
+        table from the live slots and the frozen stats."""
         rows = []
         for qid, q in enumerate(self.queries):
+            if q is None:
+                continue
             qterms = tokenize_query(q, self.opts.text_config)
             rows.append((
                 qid,
                 [(t, float(qf),
-                  idf_value(self.n_docs, int(df_by_term.get(t, 0))))
+                  idf_value(self.n_docs, int(self._df.get(t, 0))))
                  for t, qf in qterms],
                 len({t for t, _ in qterms}),
             ))
         self._qrows = rows   # driver-side twin for match_doc()
-        self._qdf = spark.createDataFrame(
-            rows, "query_id long, "
-                  "qterms array<struct<term:string,qfreq:double,idf:double>>, "
-                  "n_distinct int")
+        self._qdf = self.spark.createDataFrame(rows, self._QDF_SCHEMA)
+
+    # -- standing-set lifecycle -----------------------------------------
+
+    def add_queries(self, queries: list[str]) -> list[int]:
+        """Register new standing queries against the SAME frozen corpus
+        stats (n_docs/avgdl untouched — the reference-corpus snapshot is
+        the percolator's contract). Doc freqs for terms the frozen dict
+        has not seen resolve through the stats source (the index
+        dictionary for :meth:`from_index`, a term-filtered corpus scan
+        for :meth:`from_corpus`) — O(new terms), never a full refreeze.
+        Returns the assigned query ids."""
+        new_terms = sorted(
+            {t for q in queries
+             for t, _ in tokenize_query(q, self.opts.text_config)}
+            - set(self._df))
+        if new_terms and self._df_lookup is not None:
+            self._df.update({t: int(v) for t, v
+                             in self._df_lookup(new_terms).items()})
+        ids = list(range(len(self.queries),
+                         len(self.queries) + len(queries)))
+        self.queries.extend(queries)
+        self._rebuild()
+        return ids
+
+    def remove_queries(self, query_ids) -> int:
+        """Unregister standing queries by id (slots tombstone in place —
+        remaining ids are unchanged). Returns how many were removed."""
+        n = 0
+        for qid in query_ids:
+            qid = int(qid)
+            if 0 <= qid < len(self.queries) and self.queries[qid] is not None:
+                self.queries[qid] = None
+                n += 1
+        if n:
+            self._rebuild()
+        return n
 
     # -- constructors --------------------------------------------------
 
@@ -74,13 +133,19 @@ class Percolator:
         already holds n_docs/avgdl; dfs come from the dictionary scan the
         same way a search attaches them)."""
         m = index.manifest
+
+        def df_lookup(ts: list[str]) -> dict[str, int]:
+            # add_queries' unseen terms resolve against the index
+            # dictionary — one term-filtered scan, O(new terms)
+            return {r["term"]: int(r["doc_freq"])
+                    for r in index.term_stats(sorted(ts)).collect()}
+
         terms = sorted({t for q in queries
                         for t, _ in tokenize_query(q, m.opts.text_config)})
-        df = {r["term"]: int(r["doc_freq"])
-              for r in index.term_stats(terms).collect()}
         return cls(index.spark, queries,
-                   {"n_docs": m.total_docs, "avgdl": m.avgdl, "df": df},
-                   opts=m.opts)
+                   {"n_docs": m.total_docs, "avgdl": m.avgdl,
+                    "df": df_lookup(terms)},
+                   opts=m.opts, df_lookup=df_lookup)
 
     @classmethod
     def from_corpus(cls, spark: SparkSession, docs: DataFrame,
@@ -114,8 +179,21 @@ class Percolator:
                   .agg(F.countDistinct("doc_id").alias("df")).collect()}
         finally:
             postings.unpersist(False)
+
+        def df_lookup(ts: list[str]) -> dict[str, int]:
+            # unseen-term dfs re-derive from the SAME reference corpus
+            # (one term-filtered tokenize pass — the stats snapshot
+            # semantics: df reflects the corpus as passed here, even if
+            # the caller's docs have since changed on disk)
+            return {r["term"]: int(r["df"]) for r in
+                    doc_postings(docs, text_col, id_col, opts)
+                    .filter(F.col("term").isin(sorted(ts)))
+                    .groupBy("term")
+                    .agg(F.countDistinct("doc_id").alias("df")).collect()}
+
         return cls(spark, queries,
-                   {"n_docs": n_docs, "avgdl": avgdl, "df": df}, opts=opts)
+                   {"n_docs": n_docs, "avgdl": avgdl, "df": df}, opts=opts,
+                   df_lookup=df_lookup)
 
     # -- matching ------------------------------------------------------
 
@@ -264,18 +342,24 @@ class Percolator:
 def percolate_oracle_sql(queries: list[str], threshold: float = 0.0,
                          table: str = "documents", id_col: str = "doc_id",
                          text_col: str = "text", mode: str = "or",
-                         opts: Bm25Options | None = None) -> str:
+                         opts: Bm25Options | None = None,
+                         ids: list[int] | None = None) -> str:
     """DuckDB twin for a percolator whose stats are frozen FROM ``table``
     itself: per-query full BM25 scoring (same formula/stats convention as
-    :func:`oracle.bm25_oracle_sql`) filtered to ``score >= threshold``."""
+    :func:`oracle.bm25_oracle_sql`) filtered to ``score >= threshold``.
+    ``ids`` overrides the enumerate positions — the twin for a percolator
+    whose standing set was mutated by add/remove (stable ids, tombstoned
+    slots absent)."""
     from .. import oracle as bm25_oracle
+    pairs = list(zip(ids, queries)) if ids is not None \
+        else list(enumerate(queries))
     parts = []
-    for i, q in enumerate(queries):
+    for i, q in pairs:
         inner = bm25_oracle.bm25_oracle_sql(
             q, table=table, id_col=id_col, text_col=text_col, k=None,
             mode=mode, opts=opts)
         parts.append(
-            f"SELECT {i}::BIGINT AS query_id, * FROM (\n{inner}\n) "
+            f"SELECT {int(i)}::BIGINT AS query_id, * FROM (\n{inner}\n) "
             f"WHERE score >= {threshold}")
     return ("\nUNION ALL\n".join(parts)
             + "\nORDER BY query_id, score DESC, doc_id")

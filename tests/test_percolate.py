@@ -125,3 +125,59 @@ def test_match_doc_equals_spark_matches(spark, docs):
     want = sorted(((qid, s) for (qid, _), s in spark_and.items()),
                   key=lambda x: (-x[1], x[0]))
     assert got == want
+
+
+def test_lifecycle_add_remove_matches_fresh_set(spark, docs):
+    """add_queries/remove_queries mutate the standing set without
+    refreezing corpus stats: results equal a percolator built fresh with
+    the same live queries at the same positions (ids are stable), and an
+    added query with vocabulary unseen by the base set gets its df
+    resolved through the stats source (df_lookup)."""
+    opts = Bm25Options(text_config="simple")
+    base = ["merge", "hash join", "window customer merge"]
+    p1 = Percolator.from_corpus(spark, docs, base, opts=opts)
+    # 'vector' / 'zebra' appear in no base query -> unseen-term df path
+    new_ids = p1.add_queries(["vector scan", "zebra merge batch"])
+    assert new_ids == [3, 4]
+    assert p1.remove_queries([1]) == 1
+    assert p1.remove_queries([1, 99]) == 0      # already gone / bogus
+
+    fresh = Percolator.from_corpus(
+        spark, docs, base + ["vector scan", "zebra merge batch"], opts=opts)
+    got = _as_map(p1.matches(docs).collect())
+    want = {k: v for k, v in
+            _as_map(fresh.matches(docs).collect()).items()
+            if k[0] != 1}
+    assert got == want
+    # driver-side serving twin follows the same lifecycle
+    text = docs.filter(F.col("doc_id") == 0).first()["text"]
+    assert p1.match_doc(text) == [
+        (qid, sc) for qid, sc in fresh.match_doc(text) if qid != 1]
+
+
+def test_lifecycle_add_after_remove_never_reuses_ids(spark, docs):
+    opts = Bm25Options(text_config="simple")
+    p = Percolator.from_corpus(spark, docs, ["merge"], opts=opts)
+    p.remove_queries([0])
+    assert p.add_queries(["hash"]) == [1]
+    live = {r["query_id"] for r in p.matches(docs).collect()}
+    assert live <= {1}
+
+
+def test_largek_inverted_at_design_point(spark, docs):
+    """>=1k standing queries through the inverted-query-index path (its
+    design regime: O(matching postings) + one matched-pair shuffle) must
+    reproduce the O(docs x K) broadcast-NLJ rows exactly."""
+    opts = Bm25Options(text_config="simple")
+    vocab = sorted({t for r in docs.select("text").collect()
+                    for t in r["text"].lower().split()})
+    fleet = [f"{a} {b}" for a in vocab for b in vocab]
+    fleet += list(vocab)
+    fleet += [f"{a} {b} {a}" for a in vocab[:8] for b in vocab[:8]]
+    assert len(fleet) >= 1000
+    perc = Percolator.from_corpus(spark, docs, fleet, opts=opts)
+    sub = docs.filter(F.col("doc_id") < 40)
+    inv = _as_map(perc.matches_inverted(sub, min_score=2.0).collect())
+    nlj = _as_map(perc.matches(sub, min_score=2.0).collect())
+    assert inv == nlj
+    assert len(inv) > 0
