@@ -57,8 +57,18 @@ class Bm25Options:
     # in the docmap as source_id). Length-ordered blocks give block-max
     # bounds real variance, enabling single-term early termination on
     # corpora whose natural id order is uncorrelated with content
-    # (VALIDATION.md analysis; classic document-reordering layout).
-    reorder_docs: str = "none"
+    # (VALIDATION.md analysis; classic document-reordering layout —
+    # Lucene's index sorting is the public precedent).
+    # 'auto' (default) resolves at build time: 'length' when doc ids are
+    # auto-assigned (id_col=None -> xxhash64 ids, provably uncorrelated
+    # with content, so block-max bounds would be flat and BMW pruning
+    # dark), 'none' when the caller supplies ids (their order may carry
+    # meaning, and search() then returns them directly). The manifest
+    # stores the RESOLVED value. Cost note: 'length' adds one
+    # slim-row range sort + a full-corpus remap join to the build — the
+    # classic index-sorting trade (pay one build shuffle, prune blocks on
+    # every query forever).
+    reorder_docs: str = "auto"
 
     @property
     def codec(self) -> str:
@@ -73,8 +83,9 @@ class Bm25Options:
             raise ValueError("b must be in [0.0, 1.0]")
         if self.avgdl_mode not in ("raw", "quantized"):
             raise ValueError("avgdl_mode must be 'raw' or 'quantized'")
-        if self.reorder_docs not in ("none", "length"):
-            raise ValueError("reorder_docs must be 'none' or 'length'")
+        if self.reorder_docs not in ("auto", "none", "length"):
+            raise ValueError(
+                "reorder_docs must be 'auto', 'none' or 'length'")
         if self.posting_codec not in ("", "varbyte", "raw", "bitpack"):
             raise ValueError(
                 "posting_codec must be '', 'varbyte', 'raw' or 'bitpack'")

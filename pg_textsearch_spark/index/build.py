@@ -56,6 +56,8 @@ PACK_STATS_SCHEMA = T.StructType([
     T.StructField("max_doc_id", T.LongType()),
     T.StructField("max_doc_freq", T.LongType()),
     T.StructField("skew_factor", T.DoubleType()),
+    T.StructField("term_min", T.StringType()),
+    T.StructField("term_max", T.StringType()),
     T.StructField("resumed", T.BooleanType()),
 ])
 
@@ -177,6 +179,9 @@ def _pack_segment_pdf(pdf: pd.DataFrame, seg_id: str, seg_dir: str,
         "max_doc_id": int(docs["doc_id"].max()) if len(docs) else 0,
         "max_doc_freq": max_df,
         "skew_factor": float(max_df / mean_df) if mean_df else 0.0,
+        # dictionary term range -> manifest-level segment pruning
+        "term_min": str(packed["term"].min()) if len(packed) else "",
+        "term_max": str(packed["term"].max()) if len(packed) else "",
         "resumed": False,
     }
     if write_marker:
@@ -206,6 +211,8 @@ def make_packer(index_path: str, seg_ids: dict[int, str], opts: Bm25Options,
                 st = json.load(f)
             st["resumed"] = True
             st.setdefault("total_qlen", 0)   # marker from an older build
+            st.setdefault("term_min", "")
+            st.setdefault("term_max", "")
             return pd.DataFrame([st])[list(PACK_STATS_SCHEMA.names)]
         stats = _pack_segment_pdf(pdf, seg_id, seg_dir, opts, doc_cols)
         return pd.DataFrame([stats])[list(PACK_STATS_SCHEMA.names)]
@@ -287,6 +294,8 @@ def make_spill_packer(index_path: str, seg_ids: dict[int, str],
                             for st in json.load(f):
                                 st["resumed"] = True
                                 st.setdefault("total_qlen", 0)
+                                st.setdefault("term_min", "")
+                                st.setdefault("term_max", "")
                                 resumed_rows.append(st)
                         skip.add(seg_no)
                         continue
@@ -540,6 +549,16 @@ class Bm25Index:
             raise FileExistsError(
                 f"index already exists at {path}; pass resume=True to resume/append-check")
 
+        if opts.reorder_docs == "auto":
+            # resolved HERE and stored resolved in the manifest: hashed
+            # auto-assigned ids are uncorrelated with content, so the
+            # length layout is pure win for BMW pruning; caller-supplied
+            # ids are returned as-is (layout 'none') so search() output
+            # needs no resolve() hop (see config.Bm25Options.reorder_docs)
+            from dataclasses import replace as _replace
+            opts = _replace(opts, reorder_docs="length" if id_col is None
+                            else "none")
+
         if id_col is None:
             key_cols = [c for c in docs.columns if c != text_col]
             docs = docs.withColumn("__doc_id", F.xxhash64(*key_cols))
@@ -660,6 +679,7 @@ class Bm25Index:
                 bytes=r["bytes"], min_doc_id=r["min_doc_id"],
                 max_doc_id=r["max_doc_id"], max_doc_freq=r["max_doc_freq"],
                 skew_factor=r["skew_factor"],
+                term_min=r["term_min"] or "", term_max=r["term_max"] or "",
                 lineage={"kind": "build", "id_lo": int(lo),
                          "span": int(span), "resumed": bool(r["resumed"])},
             ))

@@ -64,6 +64,13 @@ class SegmentRecord:
     max_doc_id: int = 0
     max_doc_freq: int = 0
     skew_factor: float = 0.0    # max_doc_freq / mean_doc_freq
+    # lexicographic term range of the segment's dictionary — lets query
+    # paths drop whole segment DIRECTORIES for terms outside the range
+    # before any file listing or scan (the manifest-level analogue of the
+    # parquet footer min/max the row-group pruning already uses). Empty
+    # string = unknown (records written before this field): never prune.
+    term_min: str = ""
+    term_max: str = ""
     lineage: dict = field(default_factory=dict)
 
     def to_dict(self) -> dict:
@@ -197,7 +204,8 @@ class Manifest:
         cols: dict[str, list] = {"level": [l for l, _ in recs]}
         for name in ("segment_id", "num_docs", "total_len", "total_qlen",
                      "num_terms", "num_postings", "bytes", "min_doc_id",
-                     "max_doc_id", "max_doc_freq", "skew_factor"):
+                     "max_doc_id", "max_doc_freq", "skew_factor",
+                     "term_min", "term_max"):
             cols[name] = [getattr(s, name) for _, s in recs]
         cols["lineage_json"] = [json.dumps(s.lineage) for _, s in recs]
         pq.write_table(pa.table(cols), dest, compression="zstd")
@@ -223,6 +231,10 @@ class Manifest:
                 max_doc_id=int(cols["max_doc_id"][i]),
                 max_doc_freq=int(cols["max_doc_freq"][i]),
                 skew_factor=float(cols["skew_factor"][i]),
+                term_min=str(cols["term_min"][i])
+                if "term_min" in cols else "",
+                term_max=str(cols["term_max"][i])
+                if "term_max" in cols else "",
                 lineage=json.loads(cols["lineage_json"][i]),
             )
             levels.setdefault(rec.level, []).append(rec)

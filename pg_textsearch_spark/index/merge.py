@@ -178,6 +178,8 @@ def merge_segments(index, seg_records: list[SegmentRecord], out_level: int,
         F.sum("doc_freq").alias("num_postings"),
         F.min("min_doc_id").alias("min_id"),
         F.max("last_doc_id").alias("max_id"),
+        F.min("term").alias("term_min"),
+        F.max("term").alias("term_max"),
     ).collect()[0]
     from ..functions.fieldnorm import DECODE_TABLE
     qlen_col = F.element_at(
@@ -207,6 +209,7 @@ def merge_segments(index, seg_records: list[SegmentRecord], out_level: int,
         max_doc_id=int(st["max_id"] if st["max_id"] is not None else 0),
         max_doc_freq=int(tstats["max_df"] or 0),
         skew_factor=float((tstats["max_df"] or 0) / tstats["mean_df"]) if tstats["mean_df"] else 0.0,
+        term_min=str(st["term_min"] or ""), term_max=str(st["term_max"] or ""),
         lineage={"kind": "merge", "inputs": [s.segment_id for s in seg_records],
                  "n_salts": n_salts,
                  # carry every streaming batch id the inputs ingested, so

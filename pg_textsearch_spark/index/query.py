@@ -80,20 +80,51 @@ def _resolve_k(k, opts: Bm25Options) -> int | None:
     return int(k)
 
 
+def _prune_segments_by_term(index: "Bm25Index",
+                            terms: list[str]) -> list[str]:
+    """Postings dirs of segments whose dictionary term range
+    [term_min, term_max] can contain at least one query term — whole
+    segment DIRECTORIES drop before Spark ever lists their files (the
+    manifest-level pruning layer above the parquet footer min/max that
+    prunes row groups within a scanned file). Records without a recorded
+    range (older builds) are always kept."""
+    from .build import POSTINGS_DIR
+    import os as _os
+    keep = []
+    for s in index.manifest.segments:
+        if (s.term_min and s.term_max
+                and not any(s.term_min <= t <= s.term_max for t in terms)):
+            continue
+        keep.append(_os.path.join(index.manifest.segment_dir(s.segment_id),
+                                  POSTINGS_DIR))
+    return keep
+
+
 def _read_postings(index: "Bm25Index", terms: list[str]) -> DataFrame:
-    paths = index.postings_paths()
-    if not paths:
+    if not index.manifest.segments:
         raise ValueError("index has no segments")
+    paths = _prune_segments_by_term(index, terms)
+    index.last_segments_scanned = len(paths)     # observability (PLANS.md)
+    if not paths:
+        # every segment's term range excludes every query term: scan ONE
+        # segment (the term IN pushdown returns zero rows) — keeps the
+        # downstream plan shape without a special empty-DataFrame path
+        paths = index.postings_paths()[:1]
     # cache the DataFrame (and with it Spark's resolved FileIndex) across
     # queries on the same segment set — re-listing N segment directories
-    # per query dominates small-query latency otherwise
+    # per query dominates small-query latency otherwise. Keyed by the
+    # pruned path set; a handful of entries covers a hot query mix.
     key = tuple(sorted(paths))
-    cached = getattr(index, "_postings_df_cache", None)
-    if cached is None or cached[0] != key:
+    cache = getattr(index, "_postings_df_cache", None)
+    if cache is None or not isinstance(cache, dict):
+        cache = {}
+        index._postings_df_cache = cache
+    df = cache.get(key)
+    if df is None:
         df = index.spark.read.parquet(*paths)
-        index._postings_df_cache = (key, df)
-    else:
-        df = cached[1]
+        while len(cache) >= 8:          # bound resolved-FileIndex memory
+            cache.pop(next(iter(cache)))
+        cache[key] = df
     return df.filter(F.col("term").isin(terms))
 
 

@@ -73,6 +73,11 @@ class LocalSearcher:
             os.path.join(self.path, MANIFEST_NAME))
         self._terms: OrderedDict[str, list[dict]] = OrderedDict()
         self._gdf: dict[str, int] = {}
+        # per-SNAPSHOT postings file-list cache: each segment directory is
+        # listed at most once per manifest version (the cold path used to
+        # re-list EVERY segment dir on every cold-term batch — 380 k
+        # listdir calls per cold query at the manifest's design point)
+        self._seg_files: dict[str, list[str]] = {}
         # decoded-posting readers persist ACROSS queries (keyed
         # (segment_id, term)); lifetime is tied to the term LRU and the
         # tombstone snapshot — readers mask deletions at decode time, so
@@ -108,25 +113,45 @@ class LocalSearcher:
             self._readers.clear()   # cached decodes masked old tombstones
         return self._tomb
 
+    def _files_for(self, segment_id: str) -> list[str]:
+        """Postings parquet files of one segment, listed once per manifest
+        snapshot (the cache dies with :meth:`_load`)."""
+        files = self._seg_files.get(segment_id)
+        if files is None:
+            d = os.path.join(self.manifest.segment_dir(segment_id),
+                             POSTINGS_DIR)
+            files = [os.path.join(d, f) for f in sorted(os.listdir(d))
+                     if f.endswith(".parquet")]
+            self._seg_files[segment_id] = files
+        return files
+
     def _fetch(self, terms: list[str]) -> dict[str, list[dict]]:
         """Posting rows for ``terms`` from the LRU cache, reading the
-        missing ones in ONE filtered dataset scan (row groups whose
-        term range excludes every missing term are skipped via parquet
-        statistics — the driver-local analogue of the Spark path's
-        ``term IN`` PushedFilters)."""
+        missing ones in ONE filtered dataset scan over ONLY the segments
+        whose manifest term range [term_min, term_max] can contain a
+        missing term (whole segment directories drop before any listing;
+        within scanned files, row groups prune via parquet statistics —
+        the driver-local analogue of the Spark path's ``term IN``
+        PushedFilters)."""
         missing = sorted({t for t in terms if t not in self._terms})
         if missing:
             import pyarrow.dataset as pds
-            files = [os.path.join(d, f)
-                     for d in self._postings_paths()
-                     for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
-            tbl = (pds.dataset(files)
-                   .to_table(filter=pds.field("term").isin(missing)))
+            files = []
+            for s in self.manifest.segments:
+                tmin = getattr(s, "term_min", "")
+                tmax = getattr(s, "term_max", "")
+                if (tmin and tmax
+                        and not any(tmin <= t <= tmax for t in missing)):
+                    continue        # segment cannot contain any cold term
+                files.extend(self._files_for(s.segment_id))
             got: dict[str, list[dict]] = {}
-            for rec in (tbl.to_pandas()
-                        .sort_values(["segment_id", "term", "shard"])
-                        .to_dict("records")):
-                got.setdefault(rec["term"], []).append(rec)
+            if files:
+                tbl = (pds.dataset(files)
+                       .to_table(filter=pds.field("term").isin(missing)))
+                for rec in (tbl.to_pandas()
+                            .sort_values(["segment_id", "term", "shard"])
+                            .to_dict("records")):
+                    got.setdefault(rec["term"], []).append(rec)
             for t in missing:
                 rows = got.get(t, [])
                 self._terms[t] = rows

@@ -303,12 +303,29 @@ class IvfIndex:
         (assigned.repartition("cent_id")
          .write.mode("overwrite").partitionBy("cent_id")
          .parquet(_os.path.join(path, "buckets")))
+        IvfIndex._write_ids_sidecar(spark, assigned.select(
+            "vec_id", "cent_id"), path, mode="overwrite")
         tmp = _os.path.join(path, "ivf_manifest.json.tmp")
         with open(tmp, "w") as f:
             _json.dump({"n_centroids": n_centroids, "n_iters": n_iters,
                         "dim": dim, "format_version": 1}, f)
         _os.replace(tmp, _os.path.join(path, "ivf_manifest.json"))
         return IvfIndex(spark, path)
+
+    @staticmethod
+    def _write_ids_sidecar(spark, pairs: DataFrame, path: str,
+                           mode: str) -> None:
+        """``ids/`` sidecar: (vec_id, cent_id), range-partitioned and
+        sorted by vec_id so a point lookup reads only the file/row group
+        whose vec_id range covers it (parquet min/max stats). This is the
+        id -> bucket ROUTING structure serving replicas use instead of
+        scanning every bucket's ids at startup (16 B/vector, columnar;
+        appends add their own sorted chunk — still prunable)."""
+        import os as _os
+        par = max(spark.sparkContext.defaultParallelism // 4, 1)
+        (pairs.repartitionByRange(par, "vec_id")
+         .sortWithinPartitions("vec_id")
+         .write.mode(mode).parquet(_os.path.join(path, "ids")))
 
     def _cents(self) -> DataFrame:
         import os as _os
@@ -340,6 +357,18 @@ class IvfIndex:
         (assigned.repartition("cent_id")
          .write.mode("append").partitionBy("cent_id")
          .parquet(_os.path.join(self.path, "buckets")))
+        if _os.path.isdir(_os.path.join(self.path, "ids")):
+            # append the new ids as their own sorted chunk
+            self._write_ids_sidecar(self.spark, assigned.select(
+                "vec_id", "cent_id"), self.path, mode="append")
+        else:
+            # legacy artifact (pre-sidecar): backfill the full routing
+            # table from the buckets so serving replicas stop scanning
+            self._write_ids_sidecar(
+                self.spark,
+                self.spark.read.parquet(_os.path.join(self.path, "buckets"))
+                .select("vec_id", "cent_id"),
+                self.path, mode="overwrite")
         return n
 
     # ------------------------------------------------ delete / vacuum
@@ -398,6 +427,21 @@ class IvfIndex:
             alive.coalesce(1).write.mode("overwrite").parquet(tmp)
             _shutil.rmtree(part)
             _os.rename(tmp, part)
+        # routing sidecar: rewrite from the (now dead-free) buckets —
+        # vec_id/cent_id only, column-pruned scan; tmp + swap
+        ids_dir = _os.path.join(self.path, "ids")
+        ids_tmp = ids_dir + ".vacuum"
+        if _os.path.exists(ids_tmp):
+            _shutil.rmtree(ids_tmp)
+        pairs = (self.spark.read.parquet(root)
+                 .select("vec_id", "cent_id"))
+        par = max(self.spark.sparkContext.defaultParallelism // 4, 1)
+        (pairs.repartitionByRange(par, "vec_id")
+         .sortWithinPartitions("vec_id")
+         .write.mode("overwrite").parquet(ids_tmp))
+        if _os.path.isdir(ids_dir):
+            _shutil.rmtree(ids_dir)
+        _os.rename(ids_tmp, ids_dir)
         _os.remove(self._tombstones_path())
         return len(hit)
 
@@ -509,9 +553,39 @@ class LocalAnnSearcher:
         self.cent_norms = ct["cn"].to_numpy()[order]
         self._buckets: "OrderedDict[int, tuple]" = __import__(
             "collections").OrderedDict()
-        # id -> bucket directory map (ids-only columnar scan; 16 B/vector)
-        bdir = _os.path.join(path, "buckets")
-        self._id_bucket = {}
+        # id -> bucket routing: resolved LAZILY per query batch from the
+        # range-sorted ids/ sidecar (a filtered point read — file/row-group
+        # stats prune to the chunk covering the id), cached per replica.
+        # Replica startup therefore costs O(centroids), independent of
+        # corpus size (round 4 materialized a full vec_id->bucket dict by
+        # scanning every bucket's ids — O(corpus) driver memory and I/O).
+        # Legacy artifacts without the sidecar fall back to that full scan
+        # ONCE, on first use rather than in __init__.
+        self._id_bucket: dict[int, int] = {}
+        ids_dir = _os.path.join(path, "ids")
+        self._ids_dir = ids_dir if _os.path.isdir(ids_dir) else None
+        self._legacy_loaded = False
+        self._tomb_mtime = None
+        self._tomb: set[int] = set()
+
+    def _resolve_buckets(self, qids: list) -> None:
+        """Fill the routing cache for the given vec_ids (one filtered
+        sidecar read for all misses; absent ids stay unmapped)."""
+        import os as _os
+        import pyarrow.dataset as pds
+        missing = [int(q) for q in qids if int(q) not in self._id_bucket]
+        if not missing:
+            return
+        if self._ids_dir is not None:
+            t = (pds.dataset(self._ids_dir)
+                 .to_table(filter=pds.field("vec_id").isin(missing)))
+            for v, c in zip(t["vec_id"].to_pylist(),
+                            t["cent_id"].to_pylist()):
+                self._id_bucket[int(v)] = int(c)
+            return
+        if self._legacy_loaded:
+            return
+        bdir = _os.path.join(self.path, "buckets")
         for d in sorted(_os.listdir(bdir)):
             if not d.startswith("cent_id="):
                 continue
@@ -522,8 +596,7 @@ class LocalAnnSearcher:
             ids = pds.dataset(files).to_table(columns=["vec_id"])
             for i in ids["vec_id"].to_numpy():
                 self._id_bucket[int(i)] = cid
-        self._tomb_mtime = None
-        self._tomb: set[int] = set()
+        self._legacy_loaded = True
 
     def _bucket(self, cid: int):
         """(vec_ids, matrix, norms) for one bucket, LRU-cached."""
@@ -597,12 +670,15 @@ class LocalAnnSearcher:
         import numpy as np
         import pandas as pd
         tomb = self._tombstones()
+        self._resolve_buckets([q for q in query_ids if q not in tomb])
         parts = []
         for qid in query_ids:
             if qid in tomb or qid not in self._id_bucket:
                 continue
             ids, mat, nrm = self._bucket(self._id_bucket[qid])
             pos = int(np.searchsorted(ids, qid))
+            if pos >= ids.size or int(ids[pos]) != int(qid):
+                continue    # stale routing entry (id gone from bucket)
             out = self.search_vector(mat[pos], k=k, nprobe=nprobe,
                                      exclude_ids=tuple(query_ids))
             out.insert(0, "query_id", qid)

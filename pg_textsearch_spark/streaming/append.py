@@ -69,6 +69,7 @@ def append_batch(index, docs: DataFrame, text_col: str, id_col: str,
             bytes=r["bytes"], min_doc_id=r["min_doc_id"],
             max_doc_id=r["max_doc_id"], max_doc_freq=r["max_doc_freq"],
             skew_factor=r["skew_factor"],
+            term_min=r["term_min"] or "", term_max=r["term_max"] or "",
             lineage={"kind": "append", "batch_id": batch_id},
         )
         manifest.add_segment(rec)

@@ -1,0 +1,138 @@
+"""Round-5 features: 'auto' document-reorder resolution (BMW pruning live
+on default builds), manifest-level term-range segment pruning on both the
+Spark and the serving read paths, and the serving file-list snapshot cache."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_textsearch_spark.config import Bm25Options
+from pg_textsearch_spark.index.build import Bm25Index
+from pg_textsearch_spark.operators.exhaustive import score_exhaustive
+
+SIMPLE = Bm25Options(text_config="simple")
+
+
+@pytest.fixture(scope="module")
+def natural(spark):
+    """Length-varied corpus (the shape where iid ids leave block-max
+    bounds flat — test_round2_features.py's fixture, smaller)."""
+    import numpy as np
+    rng = np.random.default_rng(13)
+    rows_ = []
+    for i in range(1, 4001):
+        length = int(np.clip(rng.lognormal(3.5, 0.8), 5, 400))
+        tf = (1 + (i * 7) % 17) if i % 3 == 0 else 0
+        words = ["alpha"] * min(tf, length - 1) + [
+            f"w{rng.integers(0, 500)}" for _ in range(max(1, length - tf))]
+        rows_.append((i, " ".join(words)))
+    return spark.createDataFrame(rows_, "id long, content string")
+
+
+def test_auto_resolves_none_for_caller_ids(spark, natural, tmp_path):
+    idx = Bm25Index.build(spark, natural.limit(200), "content",
+                          str(tmp_path / "ids"), id_col="id", opts=SIMPLE)
+    assert SIMPLE.reorder_docs == "auto"          # caller passed 'auto'
+    assert idx.manifest.opts.reorder_docs == "none"
+    # caller ids come back directly — no resolve() hop needed
+    got = {r["doc_id"] for r in idx.search("alpha", k=10).collect()}
+    assert got <= set(range(1, 201))
+
+
+def test_auto_resolves_length_for_hashed_ids(spark, natural, tmp_path):
+    """A DEFAULT build (no id_col -> xxhash64 ids) resolves to the
+    length-ordered layout: scores match the caller-id build exactly and
+    single-term block-max pruning actually fires — round 4's 'BMW dark
+    on default builds' gap."""
+    plain = Bm25Index.build(spark, natural, "content",
+                            str(tmp_path / "plain"), id_col="id",
+                            opts=SIMPLE, num_segments=1)
+    auto = Bm25Index.build(spark, natural, "content",
+                           str(tmp_path / "auto"),
+                           opts=SIMPLE, num_segments=1)
+    assert auto.manifest.opts.reorder_docs == "length"
+    # scores are layout-invariant; ids differ (hashed -> dense strided),
+    # so compare the score multisets and pin each score to the exhaustive
+    # scorer through the docmap's source metadata
+    for q in ["alpha", "alpha w1"]:
+        want = sorted(r["score"] for r in plain.search(q, k=10).collect())
+        got = sorted(r["score"] for r in auto.search(q, k=10).collect())
+        assert got == want, q
+    _, st_plain = plain.search_profiled("alpha", k=10)
+    _, st_auto = auto.search_profiled("alpha", k=10)
+    assert st_auto["blocks_total"] == st_plain["blocks_total"]
+    assert st_plain["blocks_decoded"] == st_plain["blocks_total"]
+    assert st_auto["blocks_decoded"] <= st_auto["blocks_total"] * 3 // 4, \
+        (st_plain, st_auto)
+
+
+@pytest.fixture(scope="module")
+def split_vocab_index(spark, tmp_path_factory):
+    """Two doc-id halves with DISJOINT vocabularies -> two segments whose
+    manifest term ranges do not overlap."""
+    rows_ = [(i, "apple banana cherry date") for i in range(100)]
+    rows_ += [(i, "quince raisin squash tomato") for i in range(100, 200)]
+    docs = spark.createDataFrame(rows_, "doc_id long, text string")
+    path = str(tmp_path_factory.mktemp("splitvocab") / "idx")
+    idx = Bm25Index.build(spark, docs, "text", path, id_col="doc_id",
+                          opts=SIMPLE, num_segments=2)
+    return docs, idx
+
+
+def test_manifest_records_term_ranges(split_vocab_index):
+    _, idx = split_vocab_index
+    ranges = sorted((s.term_min, s.term_max)
+                    for s in idx.manifest.segments)
+    assert ranges == [("apple", "date"), ("quince", "tomato")]
+
+
+def test_spark_path_prunes_segments_by_term_range(spark, split_vocab_index):
+    docs, idx = split_vocab_index
+    got = idx.search("banana", k=5).collect()
+    assert idx.last_segments_scanned == 1
+    exh = {r["doc_id"]: r["score"]
+           for r in score_exhaustive(spark, docs, "text", "doc_id",
+                                     "banana", SIMPLE, k=None).collect()}
+    assert {r["doc_id"]: r["score"] for r in got} == dict(
+        sorted(exh.items())[:5])
+    # a term in NO segment's range -> zero-row result, no error
+    assert idx.search("zzz_nothere", k=5).count() == 0
+    assert idx.last_segments_scanned == 0
+    # a query spanning both ranges scans both
+    both = idx.search("banana tomato", k="all")
+    assert both.count() == 200
+    assert idx.last_segments_scanned == 2
+
+
+def test_serving_path_prunes_segments_and_caches_file_lists(
+        spark, split_vocab_index):
+    docs, idx = split_vocab_index
+    srv = idx.serving()
+    out = srv.search("tomato", k=5)
+    # only the matching segment's directory was ever listed
+    assert len(srv._seg_files) == 1
+    spark_out = idx.search("tomato", k=5).toPandas()
+    assert out["doc_id"].tolist() == spark_out["doc_id"].tolist()
+    assert out["score"].tolist() == spark_out["score"].tolist()
+    # second cold term lists the other segment once; repeated queries on
+    # warm terms list nothing new (snapshot cache)
+    srv.search("apple", k=5)
+    assert len(srv._seg_files) == 2
+    listed = dict(srv._seg_files)
+    srv.search("tomato apple", k=5)
+    assert srv._seg_files == listed
+
+
+def test_merge_and_append_carry_term_ranges(spark, split_vocab_index,
+                                            tmp_path):
+    docs, _ = split_vocab_index
+    path = str(tmp_path / "m")
+    idx = Bm25Index.build(spark, docs.filter(F.col("doc_id") < 100),
+                          "text", path, id_col="doc_id", opts=SIMPLE,
+                          num_segments=1)
+    idx.append(docs.filter(F.col("doc_id") >= 100), "text", "doc_id")
+    assert all(s.term_min and s.term_max for s in idx.manifest.segments)
+    idx.force_merge()
+    (seg,) = idx.manifest.segments
+    assert (seg.term_min, seg.term_max) == ("apple", "tomato")
