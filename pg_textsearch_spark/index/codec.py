@@ -58,7 +58,14 @@ def varbyte_decode(buf: bytes | np.ndarray, offset: int = 0, count: int | None =
     ``offset`` (supports random access into a block via skip offsets).
     """
     raw = np.frombuffer(buf, dtype=np.uint8)
-    if offset:
+    if count is not None:
+        # a uint64 varbyte value is at most 10 bytes: bound the working
+        # slice BEFORE the continuation-bit scan. Without this, random
+        # access into a long stream paid a cumsum over every byte from
+        # ``offset`` to the END of the stream per block decode — the
+        # dominant cost of cold multi-MB posting reads.
+        raw = raw[offset:offset + 10 * count]
+    elif offset:
         raw = raw[offset:]
     if raw.size == 0:
         return np.empty(0, dtype=np.uint64)

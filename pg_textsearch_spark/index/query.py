@@ -202,18 +202,38 @@ class _TermReader:
         rows_of = self.frow[missing]
         for ri in np.unique(rows_of):
             sel = missing[rows_of == ri]
-            local = sel - self.row_start[ri]
+            base = int(self.row_start[ri])
+            local = sel - base
             r = self.rows[int(ri)]
-            if local.size == self.row_nblocks[int(ri)]:
+            nb = int(self.row_nblocks[int(ri)])
+            cnts_all = np.asarray(r["skip_doc_count"], dtype=np.int64)
+            full_row = local.size == nb
+            if not full_row and local.size > max(4, nb // 16):
+                # bound-ordered selection is SCATTERED, so the per-run
+                # random-access decode degenerates to one tiny varbyte
+                # call per block (~fixed numpy cost each — measured 15x
+                # slower than one full-stream pass on a 2 M-doc hot
+                # term). Past ~1/4 of a row, decode the WHOLE stream once
+                # and cache every still-missing block; below that, true
+                # block random access keeps its pruning win.
+                local = np.asarray(
+                    [b_ for b_ in range(nb)
+                     if (base + b_) not in self._cache], dtype=np.int64)
+                sel = local + base
+                full_row = True
+            if full_row:
                 ids, tfs, norms = decode_row(r, self.block_size, self.codec)
+                pstart = np.cumsum(np.r_[np.int64(0), cnts_all])
+                starts = pstart[local]
+                ends = pstart[local + 1]
             else:
                 ids, tfs, norms = decode_row_blocks(r, local, self.codec)
+                c = cnts_all[local]
+                ends = np.cumsum(c)
+                starts = ends - c
             self.counters["decoded"] += int(local.size)
             tfd = tfs.astype(np.float64)
             contrib = (tfd * (self.k1 + 1.0)) / (tfd + self.denom_norm[norms])
-            cnts = np.asarray(r["skip_doc_count"], dtype=np.int64)[local]
-            ends = np.cumsum(cnts)
-            starts = ends - cnts
             dele = self.deleted
             for f, s, e in zip(sel, starts, ends):
                 bi, bc = ids[s:e], contrib[s:e]

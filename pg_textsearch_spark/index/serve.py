@@ -78,6 +78,11 @@ class LocalSearcher:
         # re-list EVERY segment dir on every cold-term batch — 380 k
         # listdir calls per cold query at the manifest's design point)
         self._seg_files: dict[str, list[str]] = {}
+        # per-snapshot pyarrow dataset cache keyed by candidate file set:
+        # fragment/footer metadata parses once, later cold-term batches on
+        # the same segment set reuse it (the serving analogue of the Spark
+        # path's resolved-FileIndex cache)
+        self._ds_cache: dict[tuple, object] = {}
         # decoded-posting readers persist ACROSS queries (keyed
         # (segment_id, term)); lifetime is tied to the term LRU and the
         # tombstone snapshot — readers mask deletions at decode time, so
@@ -146,8 +151,14 @@ class LocalSearcher:
                 files.extend(self._files_for(s.segment_id))
             got: dict[str, list[dict]] = {}
             if files:
-                tbl = (pds.dataset(files)
-                       .to_table(filter=pds.field("term").isin(missing)))
+                dkey = tuple(files)
+                ds = self._ds_cache.get(dkey)
+                if ds is None:
+                    ds = pds.dataset(files)
+                    while len(self._ds_cache) >= 8:
+                        self._ds_cache.pop(next(iter(self._ds_cache)))
+                    self._ds_cache[dkey] = ds
+                tbl = ds.to_table(filter=pds.field("term").isin(missing))
                 for rec in (tbl.to_pandas()
                             .sort_values(["segment_id", "term", "shard"])
                             .to_dict("records")):
