@@ -207,15 +207,19 @@ class _TermReader:
             r = self.rows[int(ri)]
             nb = int(self.row_nblocks[int(ri)])
             cnts_all = np.asarray(r["skip_doc_count"], dtype=np.int64)
+            requested = int(local.size)
             full_row = local.size == nb
             if not full_row and local.size > max(4, nb // 16):
                 # bound-ordered selection is SCATTERED, so the per-run
                 # random-access decode degenerates to one tiny varbyte
                 # call per block (~fixed numpy cost each — measured 15x
                 # slower than one full-stream pass on a 2 M-doc hot
-                # term). Past ~1/4 of a row, decode the WHOLE stream once
-                # and cache every still-missing block; below that, true
-                # block random access keeps its pruning win.
+                # term). Past ~1/16 of a row, decode the WHOLE stream
+                # once and cache every still-missing block; below that,
+                # true block random access keeps its pruning win.
+                # `blocks_decoded` keeps counting only the blocks the
+                # PRUNING LOGIC asked for (round-comparable evidence);
+                # the opportunistic extras land in `blocks_predecoded`.
                 local = np.asarray(
                     [b_ for b_ in range(nb)
                      if (base + b_) not in self._cache], dtype=np.int64)
@@ -231,7 +235,11 @@ class _TermReader:
                 c = cnts_all[local]
                 ends = np.cumsum(c)
                 starts = ends - c
-            self.counters["decoded"] += int(local.size)
+            self.counters["decoded"] += requested
+            extra_blocks = int(local.size) - requested
+            if extra_blocks:
+                self.counters["predecoded"] = (
+                    self.counters.get("predecoded", 0) + extra_blocks)
             tfd = tfs.astype(np.float64)
             contrib = (tfd * (self.k1 + 1.0)) / (tfd + self.denom_norm[norms])
             dele = self.deleted
@@ -511,13 +519,15 @@ def make_segment_kernel(qfreqs: dict[str, float], n_docs: int,
 
     out_cols = ["doc_id", "raw_score", "n_terms"]
     if profile:
-        out_cols += ["segment_id", "blocks_decoded", "blocks_total",
-                     "pos_blocks_decoded", "pos_blocks_total"]
+        out_cols += ["segment_id", "blocks_decoded", "blocks_predecoded",
+                     "blocks_total", "pos_blocks_decoded",
+                     "pos_blocks_total"]
 
     def kernel(key, pdf) -> "pd.DataFrame | tuple":
         seg_id = str(key[0])
         spec = {"doc_id": "int64", "raw_score": "float64", "n_terms": "int32",
                 "segment_id": "object", "blocks_decoded": "int64",
+                "blocks_predecoded": "int64",
                 "blocks_total": "int64", "pos_blocks_decoded": "int64",
                 "pos_blocks_total": "int64"}
         # Spark hands an Arrow-decoded pandas frame; the serving path
@@ -587,6 +597,8 @@ def make_segment_kernel(qfreqs: dict[str, float], n_docs: int,
             out = pd.concat([out, sent], ignore_index=True) if len(out) else sent
             out["segment_id"] = seg_id
             out["blocks_decoded"] = np.int64(counters["decoded"])
+            out["blocks_predecoded"] = np.int64(
+                counters.get("predecoded", 0))
             out["blocks_total"] = np.int64(blocks_total)
             out["pos_blocks_decoded"] = np.int64(counters["pos_decoded"])
             out["pos_blocks_total"] = np.int64(pos_blocks_total)
@@ -825,6 +837,7 @@ def _search_local(index: "Bm25Index", query: str, k, mode: str,
     out_schema = "doc_id long, raw_score double, n_terms int"
     if profile:
         out_schema += (", segment_id string, blocks_decoded long, "
+                       "blocks_predecoded long, "
                        "blocks_total long, pos_blocks_decoded long, "
                        "pos_blocks_total long")
     if static_df is None:
@@ -877,6 +890,7 @@ def search_profiled(index: "Bm25Index", query: str, k: int | None | str = 10,
     # report, so stats never undercount
     seg = pdf[pdf["n_terms"] == -1]
     stats = {"blocks_decoded": int(seg["blocks_decoded"].sum()),
+             "blocks_predecoded": int(seg["blocks_predecoded"].sum()),
              "blocks_total": int(seg["blocks_total"].sum()),
              "pos_blocks_decoded": int(seg["pos_blocks_decoded"].sum()),
              "pos_blocks_total": int(seg["pos_blocks_total"].sum()),
@@ -983,6 +997,8 @@ def make_batch_kernel(per_query: list[list[tuple[str, float]]], n_docs: int,
             out = pd.concat([out, sent], ignore_index=True) if len(out) else sent
             out["segment_id"] = seg_id
             out["blocks_decoded"] = np.int64(counters["decoded"])
+            out["blocks_predecoded"] = np.int64(
+                counters.get("predecoded", 0))
             out["blocks_total"] = np.int64(blocks_total)
         return out
 
@@ -1019,7 +1035,8 @@ def _search_batch_local(index: "Bm25Index", queries: list[str], k: int,
 
     out_schema = "query_id int, doc_id long, raw_score double"
     if profile:
-        out_schema += ", segment_id string, blocks_decoded long, blocks_total long"
+        out_schema += (", segment_id string, blocks_decoded long, "
+                       "blocks_predecoded long, blocks_total long")
 
     postings = _read_postings(index, sorted(all_terms))
     postings = postings.drop(*[c for c in ("pos_counts_bin",
@@ -1078,6 +1095,7 @@ def search_batch_profiled(index: "Bm25Index", queries: list[str], k: int = 10,
     pdf = local.toPandas()
     seg = pdf[pdf["query_id"] == -1]
     stats = {"blocks_decoded": int(seg["blocks_decoded"].sum()),
+             "blocks_predecoded": int(seg["blocks_predecoded"].sum()),
              "blocks_total": int(seg["blocks_total"].sum()),
              "segments": int(len(seg))}
     pdf = pdf[pdf["query_id"] != -1]

@@ -156,6 +156,37 @@ k x n_queries rows into the final sort."""))
 F.broadcast -> BroadcastHashJoin; the facet groupBy aggregates k rows.
 No shuffle touches the corpus."""))
 
+    # 8. manifest-level term-range segment pruning (round 5): a selective
+    # term must drop whole segment DIRECTORIES before the scan
+    import tempfile as _tf
+
+    from pg_textsearch_spark.index.build import Bm25Index as _B
+    sp_rows = [(i, "apple banana cherry date") for i in range(200)]
+    sp_rows += [(i, "quince raisin squash tomato")
+                for i in range(200, 400)]
+    sp_docs = spark.createDataFrame(sp_rows, "doc_id long, text string")
+    sp_path = os.path.join(_tf.gettempdir(), "pgts_plans_splitvocab")
+    import shutil as _sh
+    if os.path.exists(sp_path):
+        _sh.rmtree(sp_path)
+    sp_idx = _B.build(spark, sp_docs, "text", sp_path, id_col="doc_id",
+                      opts=Bm25Options(text_config="simple"),
+                      num_segments=2)
+    plan = formatted(sp_idx.search("banana", k=5))
+    scanned = sp_idx.last_segments_scanned
+    sections.append((
+        "term-range segment pruning (manifest-level, round 5)",
+        plan,
+        f"""Two segments with disjoint vocabularies; querying 'banana'
+scanned **{scanned} of 2** segment directories (Bm25Index.
+last_segments_scanned — the manifest's [term_min, term_max] dropped the
+other segment before Spark listed its files). At the 380 k-segment
+design point this is the layer ABOVE parquet row-group statistics: a
+selective term touches only the segment directories whose dictionary
+range can contain it, so the scan's file list — not just its row
+groups — shrinks. The InMemoryFileIndex location above shows only the
+surviving segment's path."""))
+
     parts = ["# PLANS — .explain('formatted') audit of the headline operators",
              "",
              "Generated by tools/explain_audit.py (sf0.01; plan shapes are",
