@@ -348,6 +348,33 @@ def make_spill_packer(index_path: str, seg_ids: dict[int, str],
     return pack_stream
 
 
+# metadata column names that collide with the build's internal schema
+# (tokenizer output, docmap key, reorder columns); a source column with one
+# of these names — e.g. a user 'doc_id' column on a hashed-id build, where
+# it is NOT the id but ordinary metadata — rides into the docmap under a
+# 'src_' prefix instead of shadowing the internal column
+_RESERVED_META = {"doc_id", "terms", "tfs", "doc_len", "fieldnorm",
+                  "positions", "content_sha256", "seg", "source_id",
+                  "__newid", "blen"}
+
+
+def _rename_reserved_meta(src: DataFrame, columns, id_col: str,
+                          text_col: str) -> tuple[DataFrame, dict]:
+    """Rename reserved-name metadata columns with a src_ prefix; returns
+    (renamed df, {old: new})."""
+    renamed: dict[str, str] = {}
+    for c in columns:
+        if c in (id_col, text_col) or c.startswith("__"):
+            continue
+        if c in _RESERVED_META:
+            nc = "src_" + c
+            while nc in columns:
+                nc = "src_" + nc
+            src = src.withColumnRenamed(c, nc)
+            renamed[c] = nc
+    return src, renamed
+
+
 MIN_DOCS_PER_SEGMENT = 1024
 
 
@@ -567,6 +594,8 @@ class Bm25Index:
                 assume_full_id_range = True
 
         src = docs.withColumn("__id", F.col(id_col).cast("long"))
+        src, renamed = _rename_reserved_meta(src, docs.columns, id_col,
+                                             text_col)
         if opts.reorder_docs == "length":
             # dense ids in ascending byte-length order; original ids ride
             # into the docmap as source_id (resolve() maps back).
@@ -615,7 +644,7 @@ class Bm25Index:
 
         # docmap columns (sha256 + source metadata) ride the SAME tokenizer
         # pass and shuffle — the whole build is one scan of the source
-        meta_cols = [c for c in docs.columns
+        meta_cols = [renamed.get(c, c) for c in docs.columns
                      if c not in ("__id", "__doc_id", id_col, text_col)]
         if opts.reorder_docs == "length":
             meta_cols = ["source_id"] + meta_cols
@@ -725,10 +754,14 @@ class Bm25Index:
         text_expr = F.col(text_col)
         if isinstance(source.schema[text_col].dataType, T.ArrayType):
             text_expr = F.concat_ws(" ", F.col(text_col))
+        dm = self.docmap()
+        # length-reordered layouts key the docmap by internal strided ids;
+        # the source's ids live in source_id — join on those there
+        key = "source_id" if "source_id" in dm.columns else "doc_id"
         src = source.select(
-            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(id_col).cast("long").alias(key),
             F.sha2(F.coalesce(text_expr, F.lit("")), 256).alias("src_sha"))
-        joined = self.docmap().select("doc_id", "content_sha256").join(src, "doc_id", "full")
+        joined = dm.select(key, "content_sha256").join(src, key, "full")
         bad = joined.filter(
             F.col("content_sha256").isNull() | F.col("src_sha").isNull()
             | (F.col("content_sha256") != F.col("src_sha"))).count()

@@ -48,7 +48,10 @@ def append_batch(index, docs: DataFrame, text_col: str, id_col: str,
 
     seg_id = manifest.new_segment_id()
     seg_ids = {0: seg_id}
-    meta_cols = [c for c in docs.columns
+    from ..index.build import _rename_reserved_meta
+    src, renamed = _rename_reserved_meta(src, docs.columns, id_col,
+                                         text_col)
+    meta_cols = [renamed.get(c, c) for c in docs.columns
                  if c not in ("__id", id_col, text_col)]
     postings = doc_term_arrays(src, text_col, "__id", opts,
                                extra_cols=meta_cols, with_sha=True)

@@ -136,3 +136,37 @@ def test_merge_and_append_carry_term_ranges(spark, split_vocab_index,
     idx.force_merge()
     (seg,) = idx.manifest.segments
     assert (seg.term_min, seg.term_max) == ("apple", "tomato")
+
+
+def test_default_build_over_table_with_doc_id_column(spark, tmp_path):
+    """A DEFAULT build (no id_col) over a table that HAS a 'doc_id'
+    column: the user column is ordinary metadata there (ids are hashed),
+    so it must ride into the docmap under a src_ prefix instead of
+    colliding with the internal id — and resolve() must surface it."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = Bm25Index.build(spark, docs, "text", str(tmp_path / "dflt"),
+                          opts=SIMPLE, num_segments=4)
+    assert idx.manifest.opts.reorder_docs == "length"
+    dm = idx.docmap()
+    assert "src_doc_id" in dm.columns and "doc_id" in dm.columns
+    got = idx.search("merge", k=10)
+    res = idx.resolve(got).join(
+        dm.select("doc_id", "src_doc_id"), "doc_id").toPandas()
+    assert len(res) == 10
+    # scores equal the caller-id build's, matched through src_doc_id
+    plain = Bm25Index.build(spark, docs, "text", str(tmp_path / "plain"),
+                            id_col="doc_id", opts=SIMPLE, num_segments=4)
+    want = {r["doc_id"]: r["score"]
+            for r in plain.search("merge", k="all").collect()}
+    for r in res.itertuples():
+        assert want[r.src_doc_id] == r.score
+
+
+def test_verify_content_on_reordered_layout(spark, tmp_path):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = Bm25Index.build(
+        spark, docs, "text", str(tmp_path / "vc"), id_col="doc_id",
+        opts=Bm25Options(text_config="simple", reorder_docs="length"),
+        num_segments=2)
+    n = idx.verify_content(docs, "text", "doc_id")
+    assert n == docs.count()
