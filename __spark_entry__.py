@@ -289,7 +289,7 @@ def _corpus_vocab() -> list[str]:
 # the newest 12), so rows without prior green history must come before the
 # long-green round-1/2 tail
 _NEWEST_FIRST = [
-    "hybrid_scale_rrf",
+    "hybrid_scale_rrf", "ann_ivf_vector_topk",
     "ann_ivf_index_topk", "ann_ivf_appended_topk", "ann_ivf_deleted_topk",
     "ann_ivf_topk", "hybrid_rrf_topk",
     "bm25_percolate_largek",
@@ -574,6 +574,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ivf_index_topk"] = lambda s, d: _ivf_for(s, d).search_ids(
         ANN_QUERY_IDS, k=5, nprobe=2)
 
+    # ANN by ARBITRARY query vectors (the RAG serving shape: embed a new
+    # query, probe its neighbors) — vectors fed as literals drawn from
+    # the same table, so each query finds itself at rank 1 (cos 1.0); the
+    # oracle twin simply keeps the query set in the candidates
+    def _ivf_vectors(s, d):
+        art = _ivf_for(s, d)
+        qdf = (_embs(s, d).filter(F.col("vec_id").isin(ANN_QUERY_IDS))
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qv")))
+        return art.search_vectors(qdf, k=5, nprobe=2)
+    q["ann_ivf_vector_topk"] = _ivf_vectors
+
     # IVF lifecycle: build on half the corpus (trains centroids), append
     # the other half (assign-to-existing-centroids, no retrain — FAISS
     # add-after-train semantics), then search the full index. The oracle
@@ -822,6 +834,9 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
         ANN_QUERY_IDS, k=5, dim=EMB_DIM, n_iters=2)
     o["ann_ivf_index_topk"] = similarity.ivf_topk_oracle_sql(
         ANN_QUERY_IDS, k=5, dim=EMB_DIM, n_iters=2)
+    o["ann_ivf_vector_topk"] = similarity.ivf_topk_oracle_sql(
+        ANN_QUERY_IDS, k=5, dim=EMB_DIM, n_iters=2,
+        exclude_queries=False)
     o["ann_ivf_appended_topk"] = similarity.ivf_topk_oracle_sql(
         ANN_QUERY_IDS, k=5, dim=EMB_DIM, n_iters=2,
         train_where="vec_id % 2 = 0")

@@ -208,17 +208,23 @@ def ivf_topk_oracle_sql(query_ids: list[int], k: int = 5,
                         vec_col: str = "embedding",
                         id_col: str = "vec_id",
                         train_where: str = "",
-                        exclude_ids: list[int] | None = None) -> str:
+                        exclude_ids: list[int] | None = None,
+                        exclude_queries: bool = True) -> str:
     """``train_where`` (e.g. ``"vec_id < 250"``): train centroids on that
     subset only — the oracle twin of IvfIndex.build + append (assignment
     and search still cover the FULL table). ``exclude_ids``: candidates
     removed from results but still present at training/assignment time —
-    the oracle twin of IvfIndex.delete (tombstones, no retrain)."""
+    the oracle twin of IvfIndex.delete (tombstones, no retrain).
+    ``exclude_queries=False``: the query set stays in the candidates —
+    the twin of ``IvfIndex.search_vectors`` probing with vectors that
+    happen to equal stored ones (each then ranks itself first)."""
     ids = ", ".join(str(i) for i in query_ids)
     excl = ""
+    if exclude_queries:
+        excl += f"    AND a.vec_id NOT IN ({ids})\n"
     if exclude_ids:
-        excl = ("    AND a.vec_id NOT IN ("
-                + ", ".join(str(i) for i in exclude_ids) + ")\n")
+        excl += ("    AND a.vec_id NOT IN ("
+                 + ", ".join(str(i) for i in exclude_ids) + ")\n")
     train_cte = ""
     train_table = "base"
     if train_where:
@@ -255,7 +261,7 @@ cand AS (
   SELECT DISTINCT p.query_id, a.vec_id,
          {DOT_SQL.format(dim=dim, a='p.qv', b='a.v')} / (p.qn * a.nrm) AS cos
   FROM probes p JOIN assigned a ON a.cent_id = p.cent_id
-  WHERE a.vec_id NOT IN ({ids})
+  WHERE 1=1
 {excl}),
 ranked AS (
   SELECT query_id, vec_id, cos,
@@ -476,16 +482,12 @@ class IvfIndex:
             buckets = buckets.filter(~F.col("vec_id").isin(dead))
         return buckets
 
-    def search_ids(self, query_ids: list[int], k: int = 5,
-                   nprobe: int = 2) -> DataFrame:
-        """Top-k neighbors for query vectors drawn from the index by id
-        (query ids excluded from results — same contract/tie-breaks as
-        ``ivf_topk``, so the same oracle SQL applies; tombstoned vectors
-        never match)."""
+    def _probe_queries(self, queries: DataFrame, k: int, nprobe: int,
+                       exclude_ids: list[int] | None) -> DataFrame:
+        """Shared IVF probe: queries(query_id, qv, qn) -> per-query top-k
+        (query_id, rank, vec_id, cos) over the ``nprobe`` nearest-centroid
+        buckets; tombstoned vectors never match."""
         buckets = self._alive_buckets()
-        queries = (buckets.filter(F.col("vec_id").isin(query_ids))
-                   .select(F.col("vec_id").alias("query_id"),
-                           F.col("v").alias("qv"), F.col("nrm").alias("qn")))
         cents = self._cents()
         qcos = _dot_col(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
         wprobe = Window.partitionBy("query_id").orderBy(
@@ -501,8 +503,9 @@ class IvfIndex:
         # partition pruning: cent_id is a directory column, so this filter
         # prunes whole buckets at the file-listing level
         cand_src = buckets.filter(F.col("cent_id").isin(probe_ids))
-        cand = (F.broadcast(probes).join(cand_src, "cent_id")
-                .filter(~F.col("vec_id").isin(query_ids)))
+        cand = F.broadcast(probes).join(cand_src, "cent_id")
+        if exclude_ids:
+            cand = cand.filter(~F.col("vec_id").isin(exclude_ids))
         cos = _dot_col(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
         w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
                                                    F.asc("vec_id"))
@@ -513,6 +516,34 @@ class IvfIndex:
                 .select("query_id", F.col("rank").cast("long").alias("rank"),
                         "vec_id", F.round("cos", 4).alias("cos"))
                 .orderBy("query_id", "rank"))
+
+    def search_ids(self, query_ids: list[int], k: int = 5,
+                   nprobe: int = 2) -> DataFrame:
+        """Top-k neighbors for query vectors drawn from the index by id
+        (query ids excluded from results — same contract/tie-breaks as
+        ``ivf_topk``, so the same oracle SQL applies; tombstoned vectors
+        never match)."""
+        queries = (self._alive_buckets()
+                   .filter(F.col("vec_id").isin(query_ids))
+                   .select(F.col("vec_id").alias("query_id"),
+                           F.col("v").alias("qv"), F.col("nrm").alias("qn")))
+        return self._probe_queries(queries, k, nprobe,
+                                   exclude_ids=query_ids)
+
+    def search_vectors(self, qdf: DataFrame, k: int = 5, nprobe: int = 2,
+                       query_id_col: str = "query_id",
+                       vec_col: str = "qv") -> DataFrame:
+        """Top-k neighbors for ARBITRARY query vectors NOT in the index —
+        the production ANN serving shape (a freshly-embedded query or
+        document probes its neighbors). No exclusion: an exact duplicate
+        of a stored vector ranks first at cos 1.0. Same output contract
+        and tie rules as :meth:`search_ids`; driver-side twin is
+        ``LocalAnnSearcher.search_vector``."""
+        queries = (qdf.select(
+            F.col(query_id_col).cast("long").alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"))
+            .withColumn("qn", _norm_col(F.col("qv"))))
+        return self._probe_queries(queries, k, nprobe, exclude_ids=None)
 
     def serving(self, cache_buckets: int = 64) -> "LocalAnnSearcher":
         """Driver-local ANN serving over this index's artifacts — point

@@ -210,7 +210,7 @@ def main() -> int:
     ok = kr["resumed_matches_clean"] and \
         kr["resumed_total_docs"] == stats["n_docs"]
     section = f"""
-## Mega-build proof (round 4) — {stats['n_docs']:,} docs, english config
+## Mega-build proof — {stats['n_docs']:,} docs, english config
 
 `tools/mega_build.py` on local[{cpus}] over a 64-file parquet corpus
 (deterministic natural-English generator from `tools/validate_rank_identity.py`):
