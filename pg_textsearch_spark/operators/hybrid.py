@@ -33,7 +33,41 @@ from .exhaustive import score_exhaustive
 from .similarity import DOT_SQL, NORM_SQL, _dot_col, _with_norm
 
 __all__ = ["rrf_fuse", "hybrid_rrf", "hybrid_rrf_oracle_sql",
-           "hybrid_scale_rrf", "hybrid_scale_rrf_oracle_sql"]
+           "hybrid_scale_rrf", "hybrid_scale_rrf_oracle_sql",
+           "hybrid_serve"]
+
+
+def hybrid_serve(bm25_local, ann_local, query: str, query_vec,
+                 k: int = 10, rrf_k: int = 60, n_candidates: int = 50,
+                 nprobe: int | None = None, exclude_ids=()):
+    """Driver-local hybrid retrieval — the SERVING twin of
+    :func:`hybrid_scale_rrf`: ``LocalSearcher.search`` (BM25) +
+    ``LocalAnnSearcher.search_vector`` (IVF probe), RRF-fused in plain
+    Python. No Spark job — millisecond hybrid point queries from the
+    same shared artifacts (pinned result-identical to the Spark
+    composition in tests/test_hybrid.py). ``exclude_ids``: vector-side
+    exclusions (pass the seed id to mirror ``search_ids`` semantics).
+    Returns a pandas frame (doc_id, rrf_score, bm25_rank, cos_rank)
+    ordered (rrf_score DESC, doc_id ASC)."""
+    import pandas as pd
+    bm = bm25_local.search(query, k=n_candidates)
+    ranks: dict[int, list[int]] = {}
+    for i, doc in enumerate(bm["doc_id"].tolist()):
+        ranks[int(doc)] = [i + 1, 0]
+    if nprobe is None:
+        nprobe = int(ann_local.cent_ids.size)
+    cs = ann_local.search_vector(query_vec, k=n_candidates, nprobe=nprobe,
+                                 exclude_ids=tuple(exclude_ids))
+    for r, vid in zip(cs["rank"].tolist(), cs["vec_id"].tolist()):
+        ranks.setdefault(int(vid), [0, 0])[1] = int(r)
+    rows = []
+    for doc, (ra, rb) in ranks.items():
+        s = ((1.0 / (rrf_k + ra) if ra else 0.0)
+             + (1.0 / (rrf_k + rb) if rb else 0.0))
+        rows.append((doc, round(s, 6), ra, rb))
+    rows.sort(key=lambda t: (-t[1], t[0]))
+    return pd.DataFrame(rows[:k], columns=["doc_id", "rrf_score",
+                                           "bm25_rank", "cos_rank"])
 
 
 def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame, k: int = 10,

@@ -90,3 +90,33 @@ def test_hybrid_rrf_composes_with_index_paths(spark, tmp_path):
     fused_exh = hybrid.hybrid_rrf(spark, docs, embs, "alpha join", 1,
                                   k=5, n_candidates=10, opts=opts).collect()
     assert [tuple(r) for r in fused_idx] == [tuple(r) for r in fused_exh]
+
+
+def test_hybrid_serve_matches_spark_scale_path(spark, tmp_path):
+    """The driver-local hybrid (LocalSearcher + LocalAnnSearcher fused in
+    plain Python) must reproduce the Spark hybrid_scale_rrf rows exactly
+    — same artifacts, same ranks, same fusion."""
+    from pyspark.sql import functions as F
+    from pg_textsearch_spark.index.build import Bm25Index
+    from pg_textsearch_spark.operators.similarity import IvfIndex
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    opts = Bm25Options(text_config="simple", docs_per_segment=200)
+    idx = Bm25Index.build(spark, docs, "text", str(tmp_path / "idx"),
+                          id_col="doc_id", opts=opts)
+    ivf = IvfIndex.build(spark, embs, str(tmp_path / "ivf"),
+                         n_centroids=8, n_iters=2)
+    seed = 3
+    want = hybrid.hybrid_scale_rrf(idx, ivf, "hash join merge", seed,
+                                   k=10, n_candidates=30).toPandas()
+
+    srv = idx.serving()
+    ann = ivf.serving()
+    qvec = embs.filter(F.col("vec_id") == seed).first()["embedding"]
+    got = hybrid.hybrid_serve(srv, ann, "hash join merge", qvec,
+                              k=10, n_candidates=30, exclude_ids=(seed,))
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["rrf_score"].tolist() == want["rrf_score"].tolist()
+    assert got["bm25_rank"].tolist() == want["bm25_rank"].tolist()
+    assert got["cos_rank"].tolist() == want["cos_rank"].tolist()
