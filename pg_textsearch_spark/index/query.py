@@ -408,22 +408,32 @@ def _run_maxscore(readers: dict[str, _TermReader], weights: dict[str, float],
             total = bo.size
             ids_p, sc_p = [], []
             n_seen, pos, batch = 0, 0, 4
+            # running top-k buffer of first-term contributions: the kth
+            # threshold used to re-partition the FULL concatenated score
+            # array on every batch (O(total) per step — the warm-path
+            # hot spot at 2 M docs); keeping only the k largest so far
+            # yields the identical kth in O(k + batch) per step
+            run_top = np.empty(0, dtype=np.float64)
             while pos < total:
                 take = min(batch, total - pos)
                 ids, cs = rd.get(bo[pos:pos + take])
                 if ids.size:
                     ids_p.append(ids)
-                    sc_p.append(cs * w)
+                    csw = cs * w
+                    sc_p.append(csw)
                     n_seen += ids.size
+                    if k is not None:
+                        run_top = np.concatenate([run_top, csw])
+                        if run_top.size > k:
+                            run_top = np.partition(
+                                run_top, run_top.size - k)[run_top.size - k:]
                 pos += take
                 batch = min(batch * 2, 1024)
                 if pos >= total or k is None:
                     continue
                 kth = init_kth
                 if n_seen >= k:
-                    allc = np.concatenate(sc_p)
-                    kth = max(kth, np.partition(allc,
-                                                allc.size - k)[allc.size - k])
+                    kth = max(kth, float(run_top.min()))
                 if kth > 0.0 and w * fb[bo[pos]] + other < kth - eps:
                     break
             if ids_p:

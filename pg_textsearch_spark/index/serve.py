@@ -272,6 +272,10 @@ class LocalSearcher:
         ids_l, sc_l = [], []
         n_banked = 0
         n_visited = 0
+        # running top-k of banked scores: the global threshold needs only
+        # the k largest seen so far, not a re-partition of every banked
+        # segment's scores per iteration
+        run_top = np.empty(0, dtype=np.float64)
         for seg_id, rs in self._by_segment(rows).items():
             n_visited += 1
             uniq, scores = kernel((seg_id,), rs)
@@ -280,10 +284,13 @@ class LocalSearcher:
             ids_l.append(uniq)
             sc_l.append(scores)
             n_banked += uniq.size
-            if k is not None and n_banked >= k:
-                allsc = sc_l[0] if len(sc_l) == 1 else np.concatenate(sc_l)
-                state["kth"] = float(
-                    np.partition(allsc, allsc.size - k)[allsc.size - k])
+            if k is not None:
+                run_top = np.concatenate([run_top, scores])
+                if run_top.size > k:
+                    run_top = np.partition(
+                        run_top, run_top.size - k)[run_top.size - k:]
+                if n_banked >= k:
+                    state["kth"] = float(run_top.min())
         # observability: how many term-bearing segments the seeded
         # threshold skipped without decoding a block (SCALE.md evidence)
         self.last_stats = {"segments_visited": n_visited,
