@@ -157,7 +157,7 @@ class _TermReader:
     __slots__ = ("rows", "block_size", "codec", "denom_norm", "k1",
                  "deleted", "counters", "frow", "fbnd", "flast",
                  "row_start", "row_nblocks", "n_blocks", "max_unit_bound",
-                 "bound_order", "_cache", "_pos")
+                 "bound_order", "_cache", "_pos", "_all")
 
     def __init__(self, rows: list[dict], block_size: int, codec: str,
                  denom_norm: np.ndarray, k1: float,
@@ -192,6 +192,7 @@ class _TermReader:
         self.bound_order = np.lexsort((np.arange(self.n_blocks), -self.fbnd))
         self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self._pos: dict[tuple[int, int], tuple | None] = {}
+        self._all: tuple[np.ndarray, np.ndarray] | None = None
 
     def _ensure(self, flat_idx: np.ndarray) -> None:
         missing = np.asarray([f for f in flat_idx if int(f) not in self._cache],
@@ -255,15 +256,25 @@ class _TermReader:
 
     def get(self, flat_idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(doc_ids, unit_contribs) concatenated over the given flat block
-        indices (decoded on demand, cache-reused)."""
+        indices (decoded on demand, cache-reused). A full-blocks request
+        memoizes its concatenation — warm hot queries, and/phrase mode
+        and the batch path all re-request every block per query."""
+        flat_idx = np.asarray(flat_idx)
+        full = flat_idx.size == self.n_blocks
+        if full and self._all is not None:
+            return self._all
         self._ensure(flat_idx)
-        parts = [self._cache[int(f)] for f in np.sort(np.asarray(flat_idx))]
+        parts = [self._cache[int(f)] for f in np.sort(flat_idx)]
         parts = [p for p in parts if p[0].size]
         if not parts:
             e = np.empty(0, dtype=np.int64)
-            return e, e.astype(np.float64)
-        return (np.concatenate([p[0] for p in parts]),
-                np.concatenate([p[1] for p in parts]))
+            out = (e, e.astype(np.float64))
+        else:
+            out = (np.concatenate([p[0] for p in parts]),
+                   np.concatenate([p[1] for p in parts]))
+        if full:
+            self._all = out
+        return out
 
     def pos_blocks(self, ri: int, blocks: np.ndarray):
         """Raw (block_doc_ids, positions_lists) per LOCAL block of shard
