@@ -170,3 +170,40 @@ def test_verify_content_on_reordered_layout(spark, tmp_path):
         num_segments=2)
     n = idx.verify_content(docs, "text", "doc_id")
     assert n == docs.count()
+
+
+def test_blas_assignment_matches_fold(spark, tmp_path):
+    """assign_method='blas' (Arrow-batched matmul — the production
+    assignment path) must produce the same bucket assignment and the
+    same search results as the oracle-parity 'fold' path."""
+    from pg_textsearch_spark.operators.similarity import (
+        IvfIndex, _assign, _with_norm, ivf_centroids)
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = _with_norm(embs, "embedding", "vec_id")
+    cents = ivf_centroids(base, 8, 2, 64)
+    a = {r["vec_id"]: r["cent_id"]
+         for r in _assign(base, cents, "fold").collect()}
+    b = {r["vec_id"]: r["cent_id"]
+         for r in _assign(base, cents, "blas").collect()}
+    assert a == b
+    f = IvfIndex.build(spark, embs, str(tmp_path / "fold"),
+                       n_centroids=8, n_iters=2)
+    g = IvfIndex.build(spark, embs, str(tmp_path / "blas"),
+                       n_centroids=8, n_iters=2, assign_method="blas")
+    assert g.meta["assign_method"] == "blas"
+    qf = f.search_ids([0, 1, 2], k=5, nprobe=3).collect()
+    qg = g.search_ids([0, 1, 2], k=5, nprobe=3).collect()
+    assert [tuple(r) for r in qf] == [tuple(r) for r in qg]
+
+
+def test_zero_norm_vector_never_crashes_or_wins(spark, tmp_path):
+    from pg_textsearch_spark.operators.similarity import IvfIndex
+    rows = [(i, [float((i + j) % 5 + 1) for j in range(4)])
+            for i in range(40)]
+    rows.append((99, [0.0, 0.0, 0.0, 0.0]))      # padding row
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ivf = IvfIndex.build(spark, embs, str(tmp_path / "z"),
+                         n_centroids=4, n_iters=2)
+    out = ivf.search_ids([0], k=10, nprobe=4).collect()
+    assert len(out) == 10
+    assert all(r["vec_id"] != 99 for r in out)   # zero vector never ranks
