@@ -292,7 +292,7 @@ _NEWEST_FIRST = [
     "hybrid_scale_rrf", "ann_ivf_vector_topk",
     "ann_ivf_index_topk", "ann_ivf_appended_topk", "ann_ivf_deleted_topk",
     "ann_ivf_topk", "hybrid_rrf_topk",
-    "bm25_percolate_largek",
+    "text_gopher_filter", "bm25_percolate_largek",
     "bm25_percolate", "bm25_percolate_and", "bm25_percolate_inverted",
     "events_windowed_counts", "events_sessionized",
     "multimodal_features", "multimodal_sniff",
@@ -509,6 +509,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_fingerprint"] = lambda s, d: textstats.fingerprints(_docs(s, d))
     q["text_chunk_dups"] = lambda s, d: textstats.chunk_dup_stats(_docs(s, d))
     q["text_repetition"] = lambda s, d: textstats.repetition_stats(_docs(s, d))
+    # composed Gopher keep/drop verdict (quality + repetition rules, one
+    # bit per failed rule) — the filter a pre-training pipeline applies
+    q["text_gopher_filter"] = lambda s, d: textstats.gopher_quality_filter(
+        _docs(s, d))
 
     def _decon(s, d):
         # deterministic synthetic eval set: every 37th doc's text IS an
@@ -795,6 +799,7 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
     o["text_fingerprint"] = textstats.fingerprints_oracle_sql()
     o["text_chunk_dups"] = textstats.chunk_dup_stats_oracle_sql()
     o["text_repetition"] = textstats.repetition_stats_oracle_sql()
+    o["text_gopher_filter"] = textstats.gopher_quality_filter_oracle_sql()
     from pg_textsearch_spark.operators.decontaminate import (
         decontaminate_oracle_sql)
     o["text_decontaminate"] = decontaminate_oracle_sql(

@@ -546,3 +546,92 @@ SELECT e.doc_id,
 FROM ex e JOIN freq f USING (chunk)
 GROUP BY e.doc_id ORDER BY e.doc_id
 """
+
+
+# Gopher rule thresholds (Rae et al. 2021, table A1), integer basis
+# points. Rules map onto the columns quality_scores/repetition_stats
+# already emit; mean-word-length and the 4-gram rule are not represented
+# (documented simplification — the underlying signals aren't computed).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MAX_PUNCT_BP = 1500          # symbol-to-char ratio <= 0.15
+GOPHER_MAX_DUP_LINE_BP = 3000       # duplicate-line fraction <= 0.30
+GOPHER_MAX_DUP_LINE_CHAR_BP = 2000  # chars in duplicate lines <= 0.20
+GOPHER_MAX_TOP2GRAM_BP = 2000       # top 2-gram char cover <= 0.20
+GOPHER_MAX_TOP3GRAM_BP = 1800       # top 3-gram char cover <= 0.18
+GOPHER_MAX_DUP5GRAM_BP = 1500       # repeated 5-gram occurrences <= 0.15
+
+
+def gopher_quality_filter(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """The composed keep/drop verdict a pre-training pipeline actually
+    applies: Gopher quality + repetition rules over the signals of
+    :func:`quality_scores` and :func:`repetition_stats`, one bit per
+    failed rule. Output: (doc_id, keep 0/1, fail_mask) — ``fail_mask``
+    bit i set means rule i failed (bits: 0 too-few-words, 1
+    too-many-words, 2 too-few-stopwords, 3 symbol-heavy, 4 dup-lines,
+    5 dup-line-chars, 6 top-2-gram, 7 top-3-gram, 8 dup-5-grams).
+
+    100 TB shape: both inputs are pure maps over input splits; the only
+    shuffle is their doc_id equi-join, which co-partitions two slim
+    integer-stat streams (never the text)."""
+    q = quality_scores(docs, text_col, id_col)
+    r = repetition_stats(docs, text_col, id_col)
+    j = q.join(r, "doc_id")
+    punct_bp = F.floor((F.col("n_punct") * 10000)
+                       / F.greatest(F.col("n_chars"), F.lit(1))).cast("long")
+    rules = [
+        F.col("n_words") < GOPHER_MIN_WORDS,
+        F.col("n_words") > GOPHER_MAX_WORDS,
+        F.col("n_stopwords") < GOPHER_MIN_STOPWORDS,
+        punct_bp > GOPHER_MAX_PUNCT_BP,
+        F.col("dup_line_bp") > GOPHER_MAX_DUP_LINE_BP,
+        F.col("dup_line_char_bp") > GOPHER_MAX_DUP_LINE_CHAR_BP,
+        F.col("top2gram_char_bp") > GOPHER_MAX_TOP2GRAM_BP,
+        F.col("top3gram_char_bp") > GOPHER_MAX_TOP3GRAM_BP,
+        F.col("dup5gram_bp") > GOPHER_MAX_DUP5GRAM_BP,
+    ]
+    mask = None
+    for i, cond in enumerate(rules):
+        bit = F.when(cond, F.lit(1 << i)).otherwise(F.lit(0))
+        mask = bit if mask is None else mask + bit
+    mask = mask.cast("long")
+    return (j.select(F.col("doc_id"), mask.alias("fail_mask"))
+            .select("doc_id",
+                    F.when(F.col("fail_mask") == 0, F.lit(1))
+                    .otherwise(F.lit(0)).cast("long").alias("keep"),
+                    "fail_mask")
+            .orderBy("doc_id"))
+
+
+def gopher_quality_filter_oracle_sql(table: str = "documents",
+                                     text_col: str = "text",
+                                     id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`gopher_quality_filter` — the same integer
+    rules over the two stat oracles joined on doc_id."""
+    qsql = quality_scores_oracle_sql(table, text_col, id_col)
+    rsql = repetition_stats_oracle_sql(table, text_col, id_col)
+    conds = [
+        f"q.n_words < {GOPHER_MIN_WORDS}",
+        f"q.n_words > {GOPHER_MAX_WORDS}",
+        f"q.n_stopwords < {GOPHER_MIN_STOPWORDS}",
+        f"(10000 * q.n_punct // GREATEST(q.n_chars, 1)) > {GOPHER_MAX_PUNCT_BP}",
+        f"r.dup_line_bp > {GOPHER_MAX_DUP_LINE_BP}",
+        f"r.dup_line_char_bp > {GOPHER_MAX_DUP_LINE_CHAR_BP}",
+        f"r.top2gram_char_bp > {GOPHER_MAX_TOP2GRAM_BP}",
+        f"r.top3gram_char_bp > {GOPHER_MAX_TOP3GRAM_BP}",
+        f"r.dup5gram_bp > {GOPHER_MAX_DUP5GRAM_BP}",
+    ]
+    mask = " + ".join(f"(CASE WHEN {c} THEN {1 << i} ELSE 0 END)"
+                      for i, c in enumerate(conds))
+    return f"""
+SELECT doc_id,
+       (CASE WHEN fail_mask = 0 THEN 1 ELSE 0 END)::BIGINT AS keep,
+       fail_mask
+FROM (
+  SELECT q.doc_id, ({mask})::BIGINT AS fail_mask
+  FROM ({qsql}) q JOIN ({rsql}) r USING (doc_id)
+)
+ORDER BY doc_id
+"""
