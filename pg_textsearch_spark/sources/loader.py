@@ -24,10 +24,23 @@ from pyspark.sql import functions as F
 REQUIRED_COLS = ("repo", "path", "commit", "lang", "content")
 
 
+_EXT_FORMATS = {".parquet": "parquet", ".orc": "orc", ".json": "json",
+                ".jsonl": "json", ".csv": "csv"}
+
+
 def load_source_table(spark: SparkSession, ref: str,
                       predicate: str | None = None,
-                      columns: list[str] | None = None) -> DataFrame:
-    """Load the source-code table from an Iceberg table name or a path."""
+                      columns: list[str] | None = None,
+                      fmt: str | None = None) -> DataFrame:
+    """Load the source-code table from an Iceberg table name or a path.
+
+    ``fmt`` pins the file format ('parquet'/'orc'/'json'/'csv'); when
+    None it is sniffed from the path extension (or the extension of the
+    first data file inside a directory), defaulting to parquet. CSV
+    reads with header+schema inference — fine for ad-hoc corpora, pin a
+    schema upstream for production ingest (columnar formats keep
+    predicate pushdown and column pruning; json/csv are row formats and
+    only prune post-parse)."""
     df = None
     if not os.path.exists(ref) and not ref.startswith(("file:", "hdfs:", "s3:")):
         # looks like a catalog table name
@@ -39,7 +52,20 @@ def load_source_table(spark: SparkSession, ref: str,
             except Exception:
                 df = None
     if df is None:
-        df = spark.read.parquet(ref)
+        if fmt is None:
+            probe = ref
+            if os.path.isdir(ref):
+                data = [f for f in sorted(os.listdir(ref))
+                        if not f.startswith(("_", "."))]
+                if data:
+                    probe = data[0]
+            fmt = _EXT_FORMATS.get(os.path.splitext(probe)[1].lower(),
+                                   "parquet")
+        reader = spark.read
+        if fmt == "csv":
+            reader = reader.option("header", "true") \
+                           .option("inferSchema", "true")
+        df = reader.format(fmt).load(ref)
     if predicate:
         df = df.filter(predicate)
     if columns:

@@ -207,3 +207,24 @@ def test_zero_norm_vector_never_crashes_or_wins(spark, tmp_path):
     out = ivf.search_ids([0], k=10, nprobe=4).collect()
     assert len(out) == 10
     assert all(r["vec_id"] != 99 for r in out)   # zero vector never ranks
+
+
+def test_load_source_table_formats(spark, tmp_path):
+    """Source loader reads the (repo, path, commit, lang, content) table
+    from parquet / orc / json / csv (format sniffed from the extension),
+    with predicate + column pruning applied on every format."""
+    from pg_textsearch_spark.sources.loader import load_source_table
+    rows = [(f"r{i % 3}", f"src/f{i}.py", f"c{i}", "py",
+             f"def f{i}(): return {i}") for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    for fmt in ("parquet", "orc", "json", "csv"):
+        p = str(tmp_path / fmt)
+        df.coalesce(1).write.format(fmt) \
+            .option("header", "true").save(p)
+        got = load_source_table(spark, p, predicate="repo = 'r1'",
+                                columns=["repo", "path", "content"])
+        assert got.columns == ["repo", "path", "content"], fmt
+        assert got.count() == 10, fmt
+        assert got.filter(got.content.contains("def f")).count() == 10, fmt
